@@ -1,0 +1,115 @@
+"""Occupancy grid: a V^3 log-odds grid guiding importance sampling.
+
+Plays the role of the reference's ``OccupancyGridModel``
+(``src/models/model_tcnn.py:111-134``): a single learnable logit grid,
+trilinearly interpolated at sample points (torch ``grid_sample`` semantics
+with ``align_corners=False`` and zero padding), updated every N iterations
+with a hand-specified gradient (``src/models/losses.py:54-62``
+get_logits_grad: +l_free before the return, -l_occ within +-eps of it)
+pushed through the interpolation transpose and an Adam step.
+
+Grid axes are ordered [z, y, x]: a point's x coordinate indexes the last
+axis, matching torch grid_sample's convention for (D, H, W) volumes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OccGridConfig(NamedTuple):
+    voxel_size: int = 100  # V, grid is V^3
+    lr: float = 1e-4
+    n_iters_acc: int = 10  # update cadence in optimizer iterations
+
+
+def init_occ_grid(cfg: OccGridConfig, dtype=jnp.float32) -> jnp.ndarray:
+    v = cfg.voxel_size
+    return jnp.zeros((v, v, v), dtype=dtype)
+
+
+def occ_grid_interpolate(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation of ``grid`` (V,V,V ordered [z,y,x]) at
+    ``pts`` (..., 3) with coords in [-1, 1].
+
+    align_corners=False: coordinate c maps to pixel index ((c+1)*V - 1)/2;
+    out-of-range corners contribute zero (zero padding).
+    """
+    v = grid.shape[0]
+    # pixel-space coords, one per axis; pts[...,0]=x -> last grid axis
+    pix = ((pts + 1.0) * v - 1.0) / 2.0  # (..., 3)
+    lo = jnp.floor(pix)
+    frac = pix - lo
+    lo = lo.astype(jnp.int32)
+
+    def corner_value(dx, dy, dz):
+        cx = lo[..., 0] + dx
+        cy = lo[..., 1] + dy
+        cz = lo[..., 2] + dz
+        inb = (
+            (cx >= 0) & (cx < v) & (cy >= 0) & (cy < v) & (cz >= 0) & (cz < v)
+        )
+        cxc = jnp.clip(cx, 0, v - 1)
+        cyc = jnp.clip(cy, 0, v - 1)
+        czc = jnp.clip(cz, 0, v - 1)
+        val = grid[czc, cyc, cxc]
+        wx = jnp.where(dx == 1, frac[..., 0], 1.0 - frac[..., 0])
+        wy = jnp.where(dy == 1, frac[..., 1], 1.0 - frac[..., 1])
+        wz = jnp.where(dz == 1, frac[..., 2], 1.0 - frac[..., 2])
+        return jnp.where(inb, val, 0.0) * wx * wy * wz
+
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out = out + corner_value(dx, dy, dz)
+    return out
+
+
+def occupancy_probs(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Sampling probabilities from logits, as ``OccGridRaySampler`` computes
+    them (``src/models/ray_sampling.py:78-81``): sigmoid, clamp to [0.5, 1],
+    rescale to [0, 1]."""
+    logits = occ_grid_interpolate(grid, pts)
+    probs = jax.nn.sigmoid(logits)
+    return 2.0 * (jnp.clip(probs, 0.5, 1.0) - 0.5)
+
+
+def occ_logits_grad(
+    z_vals_metric: jnp.ndarray,  # (N, S) sample depths in meters
+    depth_gt_metric: jnp.ndarray,  # (N, 1) measured depth in meters
+    eps: float = 2.0,
+    l_free: float = 0.25,
+    l_occ: float = 2.5,
+) -> jnp.ndarray:
+    """The hand-written log-odds gradient of ``get_logits_grad``
+    (``src/models/losses.py:54-62``): +l_free for samples more than eps in
+    front of the return (drives logits down via gradient descent), -l_occ
+    within +-eps of it (drives logits up), 0 behind."""
+    x = z_vals_metric - depth_gt_metric
+    before = jnp.heaviside(-x - eps, jnp.zeros_like(x))
+    near = jnp.heaviside(x + eps, jnp.zeros_like(x)) * jnp.heaviside(eps - x, jnp.zeros_like(x))
+    return l_free * before - l_occ * near
+
+
+def occ_grid_cotangent(
+    grid: jnp.ndarray,
+    points_cube: jnp.ndarray,  # (N, S, 3) sample points in [-1,1]
+    z_vals_metric: jnp.ndarray,  # (N, S)
+    depth_gt_metric: jnp.ndarray,  # (N, 1)
+    valid: jnp.ndarray,  # (N,) ray validity mask
+    eps: float = 2.0,
+    l_free: float = 0.25,
+    l_occ: float = 2.5,
+) -> jnp.ndarray:
+    """Gradient w.r.t. the grid: the hand-written per-sample logit gradient
+    scattered back through the trilinear interpolation (the reference's
+    ``point_logits.backward(gradient=point_logits_grad)``,
+    ``src/mapping/optimizer.py:897-907``)."""
+    g_logits = occ_logits_grad(z_vals_metric, depth_gt_metric, eps, l_free, l_occ)
+    g_logits = g_logits * valid[:, None].astype(g_logits.dtype)
+    _, vjp_fn = jax.vjp(lambda g: occ_grid_interpolate(g, points_cube), grid)
+    (g_grid,) = vjp_fn(g_logits)
+    return g_grid

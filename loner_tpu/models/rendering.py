@@ -1,0 +1,146 @@
+"""Volume rendering: alpha compositing of field outputs along rays.
+
+Semantics match the reference's ``raw2outputs`` / ``render_rays``
+(``src/models/rendering_tcnn.py:219-295,340-425``): classic NeRF compositing
+with relu-sigma, a 1e10 terminal delta, expected depth that includes the
+unallocated probability mass placed at the far plane, opacity = sum of
+weights, and optional per-ray depth variance.
+
+TPU-first: one fused jitted function per batch, no chunking loop (the batch
+size IS the chunk; callers pick shapes that fit HBM), static shapes, results
+as a NamedTuple pytree.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from loner_tpu.models.nerf import NeRFConfig, query_nerf
+
+
+class RenderResult(NamedTuple):
+    rgb: jnp.ndarray  # (N, num_colors) or (N, 1) dummy when sigma_only
+    depth: jnp.ndarray  # (N,)
+    weights: jnp.ndarray  # (N, S)
+    opacity: jnp.ndarray  # (N,)
+    variance: jnp.ndarray  # (N,)
+    z_vals: jnp.ndarray  # (N, S)
+    points: jnp.ndarray  # (N, S, 3) cube coords
+    raw: jnp.ndarray  # (N, S, C+1) or (N, S, 1)
+
+
+def composite(
+    raw: jnp.ndarray,  # (N, S, C+1) or (N, S, 1) when sigma_only
+    z_vals: jnp.ndarray,  # (N, S)
+    rays_d: jnp.ndarray,  # (N, 3)
+    far: Optional[jnp.ndarray] = None,  # (N,) -> depth includes far-plane mass
+    sigma_only: bool = False,
+    num_colors: int = 3,
+    softplus: bool = False,
+):
+    """Returns (rgb, depth, weights, opacity, variance)."""
+    if sigma_only:
+        sigmas = raw[..., 0]
+        rgbs = None
+    else:
+        rgbs = raw[..., :num_colors]
+        sigmas = raw[..., num_colors]
+
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    delta_inf = jnp.full_like(deltas[:, :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)
+    deltas = deltas * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    density = jax.nn.softplus(sigmas) if softplus else jax.nn.relu(sigmas)
+    alphas = 1.0 - jnp.exp(-deltas * density)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], axis=-1),
+        axis=-1,
+    )[:, :-1]
+    weights = alphas * trans  # (N, S)
+
+    opacity = jnp.sum(weights, axis=-1)
+
+    if far is not None:
+        residual = 1.0 - opacity  # mass that never terminated
+        depth = jnp.sum(weights * z_vals, axis=-1) + residual * far
+    else:
+        depth = jnp.sum(weights * z_vals, axis=-1)
+
+    if sigma_only:
+        rgb = jnp.full((raw.shape[0], 1), -1.0, dtype=raw.dtype)
+    else:
+        rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+
+    variance = jnp.sum(weights * (depth[:, None] - z_vals) ** 2, axis=-1)
+    return rgb, depth, weights, opacity, variance
+
+
+def composite_peak_adjusted(
+    raw: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    far: Optional[jnp.ndarray] = None,
+    sigma_only: bool = False,
+    num_colors: int = 3,
+    termination_threshold: float = 0.5,
+):
+    """FDT's "adjusted" strategy (``raw2outputs_adjusted``,
+    ``src/models/rendering_tcnn.py:70-214``): for foliage-like multi-return
+    ambiguity, take depth at the first sample where accumulated termination
+    probability crosses ``termination_threshold`` instead of the full
+    expectation; falls back to expected depth for rays that never cross.
+    """
+    rgb, exp_depth, weights, opacity, variance = composite(
+        raw, z_vals, rays_d, far, sigma_only, num_colors
+    )
+    cum_w = jnp.cumsum(weights, axis=-1)
+    crossed = cum_w >= termination_threshold
+    any_crossed = jnp.any(crossed, axis=-1)
+    first_idx = jnp.argmax(crossed, axis=-1)
+    peak_depth = jnp.take_along_axis(z_vals, first_idx[:, None], axis=-1)[:, 0]
+    depth = jnp.where(any_crossed, peak_depth, exp_depth)
+    return rgb, depth, weights, opacity, variance
+
+
+def render_rays(
+    params: dict,
+    bundle,
+    z_vals: jnp.ndarray,  # (N, S) from a sampler
+    cfg: NeRFConfig,
+    sigma_only: bool = False,
+    detach_sigma: bool = True,
+    render_strategy: str = "default",
+) -> RenderResult:
+    """Evaluate the field at o + d*z and composite.
+
+    The reference's ``render_rays`` (``src/models/rendering_tcnn.py:340-425``)
+    with the sampler factored out (samplers need RNG keys; keeping them
+    outside makes this function a pure deterministic map).
+    """
+    n, s = z_vals.shape
+    pts = bundle.origins[:, None, :] + bundle.directions[:, None, :] * z_vals[..., None]
+
+    flat_pts = pts.reshape(-1, 3)
+    if sigma_only:
+        raw = query_nerf(params, flat_pts, None, cfg, sigma_only=True)
+    else:
+        flat_dirs = jnp.repeat(bundle.viewdirs, s, axis=0)
+        raw = query_nerf(params, flat_pts, flat_dirs, cfg, sigma_only=False, detach_sigma=detach_sigma)
+    raw = raw.reshape(n, s, -1)
+
+    if render_strategy == "default":
+        rgb, depth, weights, opacity, variance = composite(
+            raw, z_vals, bundle.directions, far=bundle.far, sigma_only=sigma_only, num_colors=cfg.num_colors
+        )
+    elif render_strategy == "adjusted":
+        rgb, depth, weights, opacity, variance = composite_peak_adjusted(
+            raw, z_vals, bundle.directions, far=bundle.far, sigma_only=sigma_only, num_colors=cfg.num_colors
+        )
+    else:
+        raise ValueError(f"Unknown render strategy: {render_strategy}")
+
+    return RenderResult(rgb, depth, weights, opacity, variance, z_vals, pts, raw)

@@ -1,0 +1,98 @@
+"""Ray samplers: stratified-uniform and occupancy-guided importance sampling.
+
+Mirrors the reference's ``UniformRaySampler`` / ``OccGridRaySampler``
+(``src/models/ray_sampling.py:18-92``) and nerf_pl-style ``sample_pdf``
+(``src/models/rendering_tcnn.py:19-68``), reformulated with static shapes:
+every ray always yields exactly ``n_samples`` z-values; invalid rays still
+produce (masked) samples.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from loner_tpu.models.occupancy_grid import occupancy_probs
+
+
+def stratified_z_vals(
+    key: jax.Array,
+    near: jnp.ndarray,  # (N,)
+    far: jnp.ndarray,  # (N,)
+    n_samples: int,
+    perturb: float = 1.0,
+) -> jnp.ndarray:
+    """(N, S) linear near->far samples, jittered between interval midpoints."""
+    n = near.shape[0]
+    steps = jnp.linspace(0.0, 1.0, n_samples, dtype=near.dtype)
+    z = near[:, None] * (1.0 - steps) + far[:, None] * steps  # (N, S)
+    if perturb > 0:
+        mids = 0.5 * (z[:, :-1] + z[:, 1:])
+        upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+        u = jax.random.uniform(key, (n, n_samples), dtype=near.dtype)
+        z = lower + (upper - lower) * (perturb * u)
+    return z
+
+
+def sample_pdf(
+    key: jax.Array,
+    bins: jnp.ndarray,  # (N, M+1) bin edges (midpoints of coarse z)
+    weights: jnp.ndarray,  # (N, M)
+    n_importance: int,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling from a piecewise-constant pdf. (N, K)."""
+    n_rays, m = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, M+1)
+
+    if det:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance, dtype=bins.dtype), (n_rays, n_importance))
+    else:
+        u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
+
+    inds = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u)  # (N, K)
+    below = jnp.clip(inds - 1, 0, None)
+    above = jnp.clip(inds, None, m)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_lo = jnp.take_along_axis(bins, below, axis=-1)
+    bins_hi = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_lo + (u - cdf_lo) / denom * (bins_hi - bins_lo)
+
+
+def uniform_sampler_z_vals(key, bundle, n_samples: int, perturb: float = 1.0):
+    return stratified_z_vals(key, bundle.near, bundle.far, n_samples, perturb)
+
+
+def occ_grid_sampler_z_vals(
+    key: jax.Array,
+    bundle,
+    occ_grid: jnp.ndarray,
+    n_samples: int,
+    perturb: float = 1.0,
+) -> jnp.ndarray:
+    """Half stratified-uniform, half importance-sampled from the occupancy
+    grid, sorted-merged (``OccGridRaySampler.get_samples``,
+    ``src/models/ray_sampling.py:53-92``). (N, n_samples)."""
+    k_unif, k_pdf = jax.random.split(key)
+    half = n_samples // 2
+    z = stratified_z_vals(k_unif, bundle.near, bundle.far, half, perturb)
+
+    pts = bundle.origins[:, None, :] + bundle.directions[:, None, :] * z[..., None]
+    probs = jax.lax.stop_gradient(occupancy_probs(occ_grid, pts))  # (N, half)
+
+    mids = 0.5 * (z[:, :-1] + z[:, 1:])  # (N, half-1)
+    z_imp = sample_pdf(k_pdf, mids, probs[:, 1:-1], half, det=False)
+    z_imp = jax.lax.stop_gradient(z_imp)
+
+    return jnp.sort(jnp.concatenate([z, z_imp], axis=-1), axis=-1)

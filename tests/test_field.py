@@ -1,0 +1,207 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loner_tpu.models.hash_encoding import HashEncodingConfig, hash_encode, init_hash_table
+from loner_tpu.models.mlp import MLPConfig, init_mlp, mlp_apply
+from loner_tpu.models.nerf import NeRFConfig, init_nerf, query_nerf, query_sigma
+from loner_tpu.models.occupancy_grid import (
+    OccGridConfig,
+    init_occ_grid,
+    occ_grid_interpolate,
+    occ_logits_grad,
+    occ_grid_cotangent,
+    occupancy_probs,
+)
+from loner_tpu.models.sh_encoding import sh_encode
+
+
+class TestHashEncoding:
+    def test_level_resolutions(self):
+        cfg = HashEncodingConfig(n_levels=4, base_resolution=16, per_level_scale=2.0)
+        np.testing.assert_array_equal(cfg.level_resolutions(), [16, 32, 64, 128])
+
+    def test_dense_vs_hashed_levels(self):
+        cfg = HashEncodingConfig(n_levels=16, log2_hashmap_size=18, base_resolution=16)
+        dense = cfg.level_is_dense()
+        # 16^3=4096 and 32^3=32768 and 64^3=262144 <= 2^18; 128^3 > 2^18
+        assert list(dense[:4]) == [True, True, True, False]
+
+    def test_output_shape(self):
+        cfg = HashEncodingConfig(n_levels=4, n_features_per_level=2, log2_hashmap_size=12)
+        table = init_hash_table(jax.random.PRNGKey(0), cfg)
+        out = hash_encode(table, jnp.zeros((7, 3)) + 0.3, cfg)
+        assert out.shape == (7, 8)
+
+    def test_vertex_exact_value_dense(self):
+        # One dense level, base res 4: at a grid vertex the encoding equals
+        # the table entry of that vertex (trilinear weight 1).
+        cfg = HashEncodingConfig(
+            n_levels=1, n_features_per_level=2, log2_hashmap_size=10, base_resolution=4
+        )
+        table = init_hash_table(jax.random.PRNGKey(1), cfg) * 1e4  # ~U[-1,1]
+        # scale s = base-1 = 3; tcnn offsets by +0.5, so vertices sit where
+        # p*3 + 0.5 is an integer, i.e. p = (k - 0.5) / 3.
+        p = jnp.asarray([[0.5 / 3.0, 1.5 / 3.0, 2.5 / 3.0]])
+        out = hash_encode(table, p, cfg)
+        res = 4
+        cells = np.floor(np.array([0.5, 1.5, 2.5]) + 0.5).astype(int)  # [1, 2, 3]
+        idx = cells[0] + cells[1] * res + cells[2] * res * res
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(table[0, idx]), atol=1e-5)
+
+    def test_trilinear_midpoint(self):
+        cfg = HashEncodingConfig(
+            n_levels=1, n_features_per_level=1, log2_hashmap_size=10, base_resolution=4
+        )
+        table = init_hash_table(jax.random.PRNGKey(2), cfg) * 1e4
+        # y,z at vertex 1 (p*3+0.5 = 1 -> p = 1/6); x halfway between
+        # vertices 1 and 2 (p*3+0.5 = 1.5 -> p = 1/3).
+        p = jnp.asarray([[1.0 / 3.0, 1.0 / 6.0, 1.0 / 6.0]])
+        out = float(hash_encode(table, p, cfg)[0, 0])
+        res = 4
+        base = 1 * res + 1 * res * res  # y=1, z=1
+        v0 = float(table[0, base + 1, 0])  # x=1
+        v1 = float(table[0, base + 2, 0])  # x=2
+        assert abs(out - 0.5 * (v0 + v1)) < 1e-5
+
+    def test_continuity(self):
+        cfg = HashEncodingConfig(n_levels=8, log2_hashmap_size=14)
+        table = init_hash_table(jax.random.PRNGKey(3), cfg)
+        p = jnp.asarray([[0.37, 0.52, 0.61]])
+        d = jnp.asarray([[1e-6, -1e-6, 1e-6]])
+        a = hash_encode(table, p, cfg)
+        b = hash_encode(table, p + d, cfg)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+    def test_gradient_flows_to_table(self):
+        cfg = HashEncodingConfig(n_levels=2, log2_hashmap_size=10)
+        table = init_hash_table(jax.random.PRNGKey(4), cfg)
+        g = jax.grad(lambda t: jnp.sum(hash_encode(t, jnp.full((5, 3), 0.4), cfg)))(table)
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+class TestMLP:
+    def test_shapes(self):
+        cfg = MLPConfig(in_dim=32, out_dim=1, hidden_dim=64, n_hidden_layers=1)
+        params = init_mlp(jax.random.PRNGKey(0), cfg)
+        out = mlp_apply(params, jnp.ones((10, 32)), cfg)
+        assert out.shape == (10, 1)
+
+    def test_hidden_layer_count(self):
+        cfg = MLPConfig(in_dim=8, out_dim=3, hidden_dim=64, n_hidden_layers=4)
+        params = init_mlp(jax.random.PRNGKey(0), cfg)
+        assert len(params["w"]) == 5  # 4 hidden + 1 out
+
+
+class TestSHEncoding:
+    def test_shape_and_constant(self):
+        d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+        out = sh_encode(d, 4)
+        assert out.shape == (2, 16)
+        np.testing.assert_allclose(np.asarray(out[:, 0]), 0.28209479, atol=1e-6)
+
+    def test_orthonormality(self):
+        # SH basis functions are orthonormal over the sphere: numerically
+        # integrate with uniform sphere samples.
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(200000, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        y = np.asarray(sh_encode(jnp.asarray(v, dtype=jnp.float32), 3))
+        gram = (y.T @ y) / v.shape[0] * (4 * np.pi)
+        np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+class TestOccGrid:
+    def test_matches_torch_grid_sample(self):
+        import torch
+
+        v = 10
+        rng = np.random.default_rng(0)
+        grid = rng.normal(size=(v, v, v)).astype(np.float32)
+        pts = rng.uniform(-1.2, 1.2, size=(50, 7, 3)).astype(np.float32)
+
+        ours = np.asarray(occ_grid_interpolate(jnp.asarray(grid), jnp.asarray(pts)))
+
+        t_grid = torch.from_numpy(grid)[None, None]  # (1,1,D,H,W)
+        t_pts = torch.from_numpy(pts)[None, None]  # (1,1,N,S,3)
+        ref = (
+            torch.nn.functional.grid_sample(t_grid, t_pts, mode="bilinear", align_corners=False)
+            .reshape(50, 7)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_probs_range(self):
+        grid = init_occ_grid(OccGridConfig(voxel_size=8))
+        p = occupancy_probs(grid, jnp.zeros((4, 3)))
+        np.testing.assert_allclose(np.asarray(p), 0.0, atol=1e-6)  # logits 0 -> prob 0.5 -> 0
+        grid = grid + 10.0
+        p = occupancy_probs(grid, jnp.zeros((4, 3)))
+        np.testing.assert_allclose(np.asarray(p), 1.0, atol=1e-3)
+
+    def test_logits_grad_regions(self):
+        z = jnp.asarray([[1.0, 7.0, 9.0, 10.5, 13.0]])
+        d = jnp.asarray([[10.0]])
+        g = np.asarray(occ_logits_grad(z, d, eps=2.0, l_free=0.25, l_occ=2.5))
+        np.testing.assert_allclose(g[0], [0.25, 0.25, -2.5, -2.5, 0.0], atol=1e-6)
+
+    def test_cotangent_scatters_to_grid(self):
+        grid = init_occ_grid(OccGridConfig(voxel_size=8))
+        pts = jnp.zeros((3, 5, 3))
+        z = jnp.broadcast_to(jnp.linspace(1.0, 15.0, 5), (3, 5))
+        d = jnp.full((3, 1), 10.0)
+        valid = jnp.asarray([True, True, False])
+        g = occ_grid_cotangent(grid, pts, z, d, valid)
+        assert g.shape == grid.shape
+        assert float(jnp.sum(jnp.abs(g))) > 0
+        # masked ray contributes nothing: all-invalid gives zero
+        g0 = occ_grid_cotangent(grid, pts, z, d, jnp.zeros(3, dtype=bool))
+        np.testing.assert_allclose(np.asarray(g0), 0.0, atol=1e-8)
+
+
+class TestNeRF:
+    def _tiny_cfg(self):
+        return NeRFConfig(
+            num_colors=1,
+            pos_encoding_sigma=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+            pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+            sigma_hidden_dim=16,
+            intensity_hidden_dim=16,
+            intensity_hidden_layers=2,
+        )
+
+    def test_shapes(self):
+        cfg = self._tiny_cfg()
+        params = init_nerf(jax.random.PRNGKey(0), cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (11, 3), minval=-1, maxval=1)
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (11, 1))
+        out = query_nerf(params, pts, dirs, cfg)
+        assert out.shape == (11, 2)  # [color, sigma]
+        s = query_sigma(params, pts, cfg)
+        assert s.shape == (11, 1)
+
+    def test_color_in_01(self):
+        cfg = self._tiny_cfg()
+        params = init_nerf(jax.random.PRNGKey(0), cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1, maxval=1)
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (32, 1))
+        out = query_nerf(params, pts, dirs, cfg)
+        color = np.asarray(out[:, 0])
+        assert np.all(color >= 0) and np.all(color <= 1)
+
+    def test_detach_sigma_blocks_gradient(self):
+        cfg = self._tiny_cfg()
+        params = init_nerf(jax.random.PRNGKey(0), cfg)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (8, 3), minval=-1, maxval=1)
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+
+        def loss(p, detach):
+            out = query_nerf(p, pts, dirs, cfg, detach_sigma=detach)
+            return jnp.sum(out)
+
+        g_detached = jax.grad(loss)(params, True)
+        assert float(jnp.sum(jnp.abs(g_detached["sigma"]["table"]))) == 0.0
+        g_full = jax.grad(loss)(params, False)
+        assert float(jnp.sum(jnp.abs(g_full["sigma"]["table"]))) > 0.0
+        # intensity branch always gets gradient
+        assert float(jnp.sum(jnp.abs(g_detached["intensity"]["table"]))) > 0.0
