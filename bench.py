@@ -1,0 +1,68 @@
+"""Benchmark: mapping-optimizer throughput at the reference operating point.
+
+Runs the full-size flagship training step (window 8 x (512 lidar + 64 sky)
+rays = 4608 rays/iteration, 512 samples/ray, hash grid 16 levels log2=18 +
+MLP 64x1, occupancy-grid importance sampling) on the available accelerator
+and reports iterations/second.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its real-time
+budget implies >= ~16.7 iterations/s (50 its per keyframe, one keyframe per
+3 s, cfg/defaults.yaml keyframe_schedule). vs_baseline is measured its/s
+against that real-time-floor requirement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+REALTIME_FLOOR_ITS_PER_SEC = 50.0 / 3.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from loner_tpu.mapping.optimizer import TrainStepFlags, make_train_step
+
+    cfg, cube, state, window = _flagship()
+    step = make_train_step(cfg, cube)
+    flags = TrainStepFlags(
+        freeze_sigma=jnp.asarray(False),
+        freeze_rgb=jnp.asarray(True),
+        freeze_poses=jnp.asarray(True),
+        do_occ_update=jnp.asarray(False),
+    )
+    pose_mask = jnp.zeros((cfg.max_keyframes,))
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    key, sub = jax.random.split(key)
+    state, aux = step(state, window, sub, flags, pose_mask, jnp.asarray(0))
+    jax.block_until_ready(state.params)
+
+    n_iters = 60
+    occ_true = flags._replace(do_occ_update=jnp.asarray(True))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, sub = jax.random.split(key)
+        f = occ_true if (i % 10 == 9) else flags
+        state, aux = step(state, window, sub, f, pose_mask, jnp.asarray(i))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    its_per_sec = n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mapper_iterations_per_sec",
+                "value": round(its_per_sec, 2),
+                "unit": "it/s (4608 rays x 512 samples per it)",
+                "vs_baseline": round(its_per_sec / REALTIME_FLOOR_ITS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

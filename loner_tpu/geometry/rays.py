@@ -17,6 +17,11 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 
+def _safe_norm(v: jnp.ndarray) -> jnp.ndarray:
+    """Norm along the last axis, keepdims, with a zero-safe gradient."""
+    return jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-20)
+
+
 class RayBundle(NamedTuple):
     origins: jnp.ndarray  # (N, 3) in cube coords
     directions: jnp.ndarray  # (N, 3) unit, world frame
@@ -104,7 +109,10 @@ def build_lidar_rays(
 
     rot = lidar_pose[:3, :3]
     dirs_world = directions_sensor @ rot.T
-    dirs_world = dirs_world / jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)
+    # eps-safe norm: padded points carry zero directions; a bare norm would
+    # emit NaN *gradients* there and poison the whole batch via the finite
+    # guard, even though such rays are masked out of the loss.
+    dirs_world = dirs_world / _safe_norm(dirs_world)
     viewdirs = -dirs_world
 
     near = jnp.full((n,), ray_range[0] / scale, dtype=origins.dtype)
@@ -134,7 +142,7 @@ def build_camera_rays(
 
     rot = camera_pose[:3, :3]
     dirs_world = directions_cam @ rot.T
-    dirs_world = dirs_world / jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)
+    dirs_world = dirs_world / _safe_norm(dirs_world)
 
     near = jnp.full((n,), ray_range[0] / scale, dtype=origins.dtype)
     far_range = jnp.full((n,), ray_range[1] / scale, dtype=origins.dtype)

@@ -1,0 +1,83 @@
+"""Keyframes: host-side bookkeeping + stacked device windows.
+
+Covers the reference's ``KeyFrame`` (``src/mapping/keyframe.py``): a frame
+pinned on device with its tracked pose at creation time, an optimizable pose
+slot, and fixed-count ray sampling from its scan (lidar + synthesized sky
+rays at range far+1 with a detached pose).
+
+TPU-first: the optimizable pose lives in one global (K, 6) array inside the
+mapper state (keyframes reference it by index), and an active window is a
+stacked pytree of W keyframes' point arrays so the whole window feeds one
+jitted step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from loner_tpu.data.scan import LidarScan
+from loner_tpu.geometry import se3
+
+
+@dataclass
+class KeyFrame:
+    """Host-side keyframe record."""
+
+    scan: LidarScan
+    timestamp: float
+    pose_index: int  # row in the mapper's (K, 6) pose array
+    tracked_pose: np.ndarray  # (4,4) tracker output at creation (fixed)
+    gt_pose: Optional[np.ndarray] = None  # (4,4) groundtruth, if known
+    sky: Optional[LidarScan] = None
+    is_anchored: bool = False  # first KF anchors the world frame
+
+    def pose_state(self, optimized_pose: np.ndarray) -> dict:
+        """Serializable pose state, mirroring the reference's per-KF dict
+        (``src/mapping/keyframe.py:130-138``)."""
+        return {
+            "timestamp": self.timestamp,
+            "lidar_pose": np.asarray(optimized_pose),
+            "tracked_pose": np.asarray(self.tracked_pose),
+            "gt_lidar_pose": None if self.gt_pose is None else np.asarray(self.gt_pose),
+        }
+
+
+class KeyFrameWindow(NamedTuple):
+    """A stacked window of W keyframes, ready for one jitted train step."""
+
+    dirs: jnp.ndarray  # (W, P, 3) sensor-frame ray directions
+    dists: jnp.ndarray  # (W, P) ranges (meters)
+    point_valid: jnp.ndarray  # (W, P) bool
+    sky_dirs: jnp.ndarray  # (W, S, 3)
+    sky_valid: jnp.ndarray  # (W, S) bool
+    pose_idx: jnp.ndarray  # (W,) int32 rows into the pose array
+
+    @property
+    def window_size(self) -> int:
+        return self.dirs.shape[0]
+
+
+def stack_window(keyframes: List[KeyFrame], n_sky_pad: int = 64) -> KeyFrameWindow:
+    """Stack keyframes into a fixed-shape window. All scans must share the
+    same padded point budget (enforced by the dataset/frame-synthesis layer).
+    """
+    dirs = jnp.stack([kf.scan.ray_directions for kf in keyframes])
+    dists = jnp.stack([kf.scan.distances for kf in keyframes])
+    valid = jnp.stack([kf.scan.valid for kf in keyframes])
+
+    skys_d, skys_v = [], []
+    for kf in keyframes:
+        if kf.sky is not None:
+            skys_d.append(kf.sky.ray_directions)
+            skys_v.append(kf.sky.valid)
+        else:
+            skys_d.append(jnp.zeros((n_sky_pad, 3), dtype=dirs.dtype))
+            skys_v.append(jnp.zeros((n_sky_pad,), dtype=bool))
+    sky_dirs = jnp.stack(skys_d)
+    sky_valid = jnp.stack(skys_v)
+
+    pose_idx = jnp.asarray([kf.pose_index for kf in keyframes], dtype=jnp.int32)
+    return KeyFrameWindow(dirs, dists, valid, sky_dirs, sky_valid, pose_idx)

@@ -1,0 +1,195 @@
+"""Online mapper: keyframe acceptance + schedule-driven optimization.
+
+Covers the reference's ``Mapper`` (``src/mapping/mapper.py``) and the
+schedule-execution half of its ``Optimizer`` (``src/mapping/optimizer.py:
+143-265``): per accepted keyframe, run the keyframe schedule's phases
+(e.g. 1000 iterations on the first keyframe, then 50/keyframe of joint
+optimization), each phase with its freeze configuration, over the active
+window chosen by the KeyFrameManager; checkpoint on a cadence; publish
+updated keyframe poses.
+
+The host loop stays thin: each iteration is one call of the single jitted
+train step with runtime flags.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loner_tpu.data.scan import LidarScan
+from loner_tpu.geometry import se3
+from loner_tpu.mapping.keyframe import KeyFrame, stack_window
+from loner_tpu.mapping.keyframe_manager import KeyFrameManager, KeyFrameManagerConfig
+from loner_tpu.mapping.optimizer import (
+    MapperConfig,
+    MapperState,
+    TrainStepFlags,
+    init_mapper_state,
+    make_train_step,
+)
+
+
+@dataclass
+class IterationPhase:
+    """One entry of an iteration schedule (``cfg/defaults.yaml``
+    keyframe_schedule)."""
+
+    num_iterations: int
+    freeze_poses: bool = False
+    freeze_sigma_mlp: bool = False
+    freeze_rgb_mlp: bool = True
+    latest_kf_only: bool = False
+
+
+@dataclass
+class SchedulePhase:
+    num_keyframes: int  # -1 = all remaining
+    iteration_schedule: List[IterationPhase]
+
+
+def default_keyframe_schedule(skip_pose_refinement: bool = True) -> List[SchedulePhase]:
+    """The reference's default schedule: 1000 iterations on the first
+    keyframe (poses frozen), then per keyframe an optional tracking-refine
+    phase (skipped by default) and 50 joint iterations."""
+    later = []
+    if not skip_pose_refinement:
+        later.append(
+            IterationPhase(50, freeze_poses=False, freeze_sigma_mlp=True, latest_kf_only=True)
+        )
+    later.append(IterationPhase(50, freeze_poses=False, freeze_sigma_mlp=False))
+    return [
+        SchedulePhase(1, [IterationPhase(1000, freeze_poses=True)]),
+        SchedulePhase(-1, later),
+    ]
+
+
+@dataclass
+class OnlineMapperConfig:
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    keyframe_manager: KeyFrameManagerConfig = field(default_factory=KeyFrameManagerConfig)
+    schedule: List[SchedulePhase] = field(default_factory=default_keyframe_schedule)
+    n_sky_pad: int = 64
+    seed: int = 0
+
+
+class OnlineMapper:
+    def __init__(self, cfg: OnlineMapperConfig, cube):
+        self.cfg = cfg
+        self.cube = cube
+        self.state: MapperState = init_mapper_state(
+            jax.random.PRNGKey(cfg.seed), cfg.mapper
+        )
+        self.kf_manager = KeyFrameManager(cfg.keyframe_manager, seed=cfg.seed)
+        self._train_step = make_train_step(cfg.mapper, cube)
+        self._key = jax.random.PRNGKey(cfg.seed + 1)
+        self.map_times: List[float] = []
+        self.its_per_sec_log: List[float] = []
+        # callbacks: called with (timestamp, tracked_pose, optimized_pose)
+        self.keyframe_update_callbacks: List[Callable] = []
+
+    # ------------------------------------------------------------------
+    def _phases_for_kf(self, kf_count: int) -> List[IterationPhase]:
+        """Select the iteration schedule for the kf_count-th keyframe
+        (1-based), walking the schedule's num_keyframes buckets
+        (``optimizer.py:145-155``)."""
+        remaining = kf_count
+        for phase in self.cfg.schedule:
+            if phase.num_keyframes == -1 or remaining <= phase.num_keyframes:
+                return phase.iteration_schedule
+            remaining -= phase.num_keyframes
+        return self.cfg.schedule[-1].iteration_schedule
+
+    def _pose_mask(self, window_kfs, latest_only: bool) -> jnp.ndarray:
+        mask = np.zeros((self.cfg.mapper.max_keyframes,), np.float32)
+        if latest_only:
+            mask[window_kfs[-1].pose_index] = 1.0
+        else:
+            for kf in window_kfs:
+                if not kf.is_anchored:
+                    mask[kf.pose_index] = 1.0
+        return jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self,
+        scan: LidarScan,
+        timestamp: float,
+        tracked_pose: np.ndarray,
+        gt_pose: Optional[np.ndarray] = None,
+        sky: Optional[LidarScan] = None,
+        use_gt_pose: bool = False,
+    ) -> bool:
+        """Keyframe gate + optimization. Returns True if a keyframe was
+        accepted and the map optimized."""
+        if not self.kf_manager.should_accept(timestamp, tracked_pose):
+            return False
+        t0 = time.time()
+
+        pose_init = (
+            gt_pose
+            if (use_gt_pose and gt_pose is not None)
+            else self.kf_manager.rebase_pose(tracked_pose, np.asarray(self.state.poses))
+        )
+        kf = KeyFrame(
+            scan=scan,
+            timestamp=timestamp,
+            pose_index=len(self.kf_manager),
+            tracked_pose=np.asarray(tracked_pose),
+            gt_pose=gt_pose,
+            sky=sky,
+        )
+        assert kf.pose_index < self.cfg.mapper.max_keyframes, "max_keyframes exceeded"
+        self.kf_manager.accept(kf)
+        self.state = self.state._replace(
+            poses=self.state.poses.at[kf.pose_index].set(
+                se3.matrix_to_pose(jnp.asarray(pose_init, jnp.float32))
+            )
+        )
+
+        window_kfs = self.kf_manager.get_active_window()
+        window = stack_window(window_kfs, n_sky_pad=self.cfg.n_sky_pad)
+
+        n_iters = 0
+        t_opt = time.time()
+        for phase in self._phases_for_kf(len(self.kf_manager)):
+            flags = TrainStepFlags(
+                freeze_sigma=jnp.asarray(phase.freeze_sigma_mlp),
+                freeze_rgb=jnp.asarray(phase.freeze_rgb_mlp),
+                freeze_poses=jnp.asarray(phase.freeze_poses),
+                do_occ_update=jnp.asarray(False),
+            )
+            pose_mask = self._pose_mask(window_kfs, phase.latest_kf_only)
+            for it in range(phase.num_iterations):
+                self._key, sub = jax.random.split(self._key)
+                occ = jnp.asarray(
+                    (int(self.state.global_step) % self.cfg.mapper.occ.n_iters_acc)
+                    == self.cfg.mapper.occ.n_iters_acc - 1
+                )
+                self.state, aux = self._train_step(
+                    self.state, window, sub, flags._replace(do_occ_update=occ),
+                    pose_mask, jnp.asarray(it),
+                )
+                n_iters += 1
+        jax.block_until_ready(self.state.params)
+        dt_opt = time.time() - t_opt
+        if dt_opt > 0:
+            self.its_per_sec_log.append(n_iters / dt_opt)
+
+        poses_np = np.asarray(self.state.poses)
+        for cb in self.keyframe_update_callbacks:
+            for k in window_kfs:
+                opt_T = np.asarray(se3.pose_to_matrix(jnp.asarray(poses_np[k.pose_index])))
+                cb(k.timestamp, k.tracked_pose, opt_T)
+
+        self.map_times.append(time.time() - t0)
+        return True
+
+    def optimized_pose(self, kf: KeyFrame) -> np.ndarray:
+        return np.asarray(
+            se3.pose_to_matrix(jnp.asarray(self.state.poses[kf.pose_index]))
+        )

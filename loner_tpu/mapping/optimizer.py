@@ -1,0 +1,334 @@
+"""The mapping optimizer: one fused, jitted train step for the implicit map.
+
+This is the TPU re-design of the reference's ``Optimizer``
+(``src/mapping/optimizer.py``, the heart of the system). One call of
+``train_step`` performs what the reference spreads over many torch ops and
+host round-trips:
+
+  sample ray indices -> build rays from (differentiable) keyframe poses ->
+  occupancy-guided z sampling -> field eval -> composite -> JS/LOS loss ->
+  backward -> per-group Adam updates (sigma / intensity / poses) ->
+  optional occupancy-grid update
+
+entirely on device with static shapes. Phase behavior (the reference's
+keyframe schedule with freeze_poses / freeze_sigma_mlp / freeze_rgb_mlp,
+``optimizer.py:209-265``) is expressed with *runtime* 0/1 flags plus a
+per-keyframe pose mask, so a single compiled step serves every phase.
+
+Divergences from the reference (deliberate):
+  * non-finite loss/grads skip the update instead of hard-asserting
+    (``optimizer.py:452-458`` guards, ``:854`` assert) — reported in aux.
+  * invalid/padded rays are masked, not dropped (static shapes).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from loner_tpu.geometry import se3
+from loner_tpu.geometry.rays import RayBundle, build_lidar_rays
+from loner_tpu.models import sampling
+from loner_tpu.models.losses import LossConfig, compute_lidar_loss
+from loner_tpu.models.nerf import NeRFConfig, init_nerf
+from loner_tpu.models.occupancy_grid import (
+    OccGridConfig,
+    init_occ_grid,
+    occ_grid_cotangent,
+)
+from loner_tpu.models.rendering import render_rays
+
+
+class MapperConfig(NamedTuple):
+    nerf: NeRFConfig = NeRFConfig()
+    loss: LossConfig = LossConfig()
+    occ: OccGridConfig = OccGridConfig()
+
+    ray_range: Tuple[float, float] = (1.0, 50.0)
+    world_scale: float = 20.0  # world-cube scale factor (static for jit)
+
+    window_size: int = 8
+    max_keyframes: int = 512
+    rays_per_kf: int = 512
+    sky_rays_per_kf: int = 64
+    n_samples_train: int = 512
+    n_samples_test: int = 2048
+    perturb: float = 1.0
+    samples_strategy: str = "OGM"  # OGM | UNIFORM
+
+    lr_sigma: float = 0.01
+    lr_rgb: float = 0.01
+    lr_pose: float = 0.001
+    lr_gamma: float = 1.0  # exponential decay per optimizer step
+    pose_lr_gamma: float = 1.0
+    rgb_weight_decay: float = 1e-5
+    sigma_weight_decay: float = 0.0
+
+    @property
+    def rays_per_window(self) -> int:
+        return self.window_size * (self.rays_per_kf + self.sky_rays_per_kf)
+
+
+class MapperState(NamedTuple):
+    params: Any  # nerf params {"sigma": ..., "intensity": ...}
+    poses: jnp.ndarray  # (K, 6) keyframe poses (se3 vectors)
+    opt_sigma: Any
+    opt_intensity: Any
+    opt_poses: Any
+    occ_grid: jnp.ndarray  # (V, V, V) logits
+    opt_occ: Any
+    global_step: jnp.ndarray  # scalar int32
+    skipped_steps: jnp.ndarray  # scalar int32, non-finite guard trips
+
+
+def _exp_schedule(base_lr: float, gamma: float):
+    if gamma == 1.0:
+        return base_lr
+    return lambda step: base_lr * gamma**step
+
+
+def make_optimizers(cfg: MapperConfig):
+    tx_sigma = optax.chain(
+        optax.add_decayed_weights(cfg.sigma_weight_decay) if cfg.sigma_weight_decay else optax.identity(),
+        optax.adam(_exp_schedule(cfg.lr_sigma, cfg.lr_gamma)),
+    )
+    tx_intensity = optax.chain(
+        optax.add_decayed_weights(cfg.rgb_weight_decay) if cfg.rgb_weight_decay else optax.identity(),
+        optax.adam(_exp_schedule(cfg.lr_rgb, cfg.lr_gamma)),
+    )
+    tx_poses = optax.adam(_exp_schedule(cfg.lr_pose, cfg.pose_lr_gamma))
+    tx_occ = optax.adam(cfg.occ.lr)
+    return tx_sigma, tx_intensity, tx_poses, tx_occ
+
+
+def init_mapper_state(key: jax.Array, cfg: MapperConfig) -> MapperState:
+    params = init_nerf(key, cfg.nerf)
+    poses = jnp.zeros((cfg.max_keyframes, 6), dtype=jnp.float32)
+    occ = init_occ_grid(cfg.occ)
+    tx_s, tx_i, tx_p, tx_o = make_optimizers(cfg)
+    return MapperState(
+        params=params,
+        poses=poses,
+        opt_sigma=tx_s.init(params["sigma"]),
+        opt_intensity=tx_i.init(params["intensity"]),
+        opt_poses=tx_p.init(poses),
+        occ_grid=occ,
+        opt_occ=tx_o.init(occ),
+        global_step=jnp.asarray(0, jnp.int32),
+        skipped_steps=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _tree_where(flag, a, b):
+    """flag ? a : b across a pytree (elementwise select, dtype-preserving)."""
+    return jax.tree.map(lambda x, y: jnp.where(flag, x, y).astype(x.dtype), a, b)
+
+
+def _tree_finite(t) -> jnp.ndarray:
+    leaves = jax.tree.leaves(t)
+    ok = jnp.asarray(True)
+    for l in leaves:
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(l)))
+    return ok
+
+
+def build_window_rays(
+    poses: jnp.ndarray,  # (K, 6)
+    window,  # KeyFrameWindow
+    cube,
+    cfg: MapperConfig,
+    key: jax.Array,
+) -> RayBundle:
+    """Sample rays_per_kf lidar + sky_rays_per_kf sky rays from every
+    keyframe in the window and build one flat RayBundle of static size
+    W * (rays_per_kf + sky_rays_per_kf).
+
+    Gradients flow from ray origins/directions to ``poses``; sky rays use a
+    detached pose like the reference (``src/mapping/keyframe.py:75-105``).
+    """
+    w = window.window_size
+    p = window.dirs.shape[1]
+    s = window.sky_dirs.shape[1]
+    sky_range = cfg.ray_range[1] + 1.0  # beyond far -> transparent ray
+
+    keys = jax.random.split(key, w)
+
+    def one_kf(pose6, dirs, dists, pvalid, sky_dirs, sky_valid, k):
+        k1, k2 = jax.random.split(k)
+        idx = jax.random.randint(k1, (cfg.rays_per_kf,), 0, p)
+        T = se3.pose_to_matrix(pose6)
+        lidar = build_lidar_rays(
+            dirs[idx], dists[idx], T, cube, cfg.ray_range, point_valid=pvalid[idx]
+        )
+        sidx = jax.random.randint(k2, (cfg.sky_rays_per_kf,), 0, s)
+        sky = build_lidar_rays(
+            sky_dirs[sidx],
+            jnp.full((cfg.sky_rays_per_kf,), sky_range),
+            jax.lax.stop_gradient(T),
+            cube,
+            cfg.ray_range,
+            point_valid=sky_valid[sidx],
+        )
+        return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), lidar, sky)
+
+    pose6 = poses[window.pose_idx]  # (W, 6)
+    bundles = jax.vmap(one_kf)(
+        pose6,
+        window.dirs,
+        window.dists,
+        window.point_valid,
+        window.sky_dirs,
+        window.sky_valid,
+        keys,
+    )
+    # (W, R, ...) -> (W*R, ...)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), bundles)
+
+
+class TrainStepFlags(NamedTuple):
+    """Runtime phase flags (the keyframe schedule's freeze config)."""
+
+    freeze_sigma: jnp.ndarray  # scalar bool
+    freeze_rgb: jnp.ndarray  # scalar bool
+    freeze_poses: jnp.ndarray  # scalar bool
+    do_occ_update: jnp.ndarray  # scalar bool
+
+
+def make_train_step(cfg: MapperConfig, cube):
+    """Build the jitted train step. ``cube`` is the WorldCube (static)."""
+    tx_sigma, tx_intensity, tx_poses, tx_occ = make_optimizers(cfg)
+    scale = cfg.world_scale
+
+    def _forward(params, poses, occ_grid, window, key, iteration, global_step):
+        k_rays, k_samp = jax.random.split(key)
+        bundle = build_window_rays(poses, window, cube, cfg, k_rays)
+
+        if cfg.samples_strategy == "OGM":
+            z_vals = sampling.occ_grid_sampler_z_vals(
+                k_samp, bundle, occ_grid, cfg.n_samples_train, cfg.perturb
+            )
+        else:
+            z_vals = sampling.uniform_sampler_z_vals(
+                k_samp, bundle, cfg.n_samples_train, cfg.perturb
+            )
+
+        render = render_rays(params, bundle, z_vals, cfg.nerf, sigma_only=True)
+        loss, aux = compute_lidar_loss(
+            render, bundle, scale, cfg.loss, global_step, iteration
+        )
+        return loss, (aux, render, bundle)
+
+    @jax.jit
+    def train_step(
+        state: MapperState,
+        window,  # KeyFrameWindow
+        key: jax.Array,
+        flags: TrainStepFlags,
+        pose_mask: jnp.ndarray,  # (K,) 1.0 where this phase may move the pose
+        iteration: jnp.ndarray,  # scalar — iteration within the phase
+    ) -> Tuple[MapperState, dict]:
+        (loss, (aux, render, bundle)), grads = jax.value_and_grad(
+            _forward, argnums=(0, 1), has_aux=True
+        )(
+            state.params,
+            state.poses,
+            state.occ_grid,
+            window,
+            key,
+            iteration.astype(jnp.float32),
+            state.global_step.astype(jnp.float32),
+        )
+        g_params, g_poses = grads
+
+        finite = jnp.logical_and(
+            jnp.isfinite(loss),
+            jnp.logical_and(_tree_finite(g_params), _tree_finite(g_poses)),
+        )
+
+        def masked_group(tx, g, opt_state, params, freeze):
+            updates, new_state = tx.update(g, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            skip = jnp.logical_or(freeze, jnp.logical_not(finite))
+            return (
+                _tree_where(skip, params, new_params),
+                _tree_where(skip, opt_state, new_state),
+            )
+
+        new_sigma, opt_sigma = masked_group(
+            tx_sigma, g_params["sigma"], state.opt_sigma, state.params["sigma"], flags.freeze_sigma
+        )
+        new_intensity, opt_intensity = masked_group(
+            tx_intensity,
+            g_params["intensity"],
+            state.opt_intensity,
+            state.params["intensity"],
+            flags.freeze_rgb,
+        )
+
+        # Poses: per-row mask (latest-kf-only phases), plus the global flag.
+        pose_updates, opt_poses_new = tx_poses.update(g_poses, state.opt_poses, state.poses)
+        pose_updates = pose_updates * pose_mask[:, None]
+        new_poses = optax.apply_updates(state.poses, pose_updates)
+        skip_poses = jnp.logical_or(flags.freeze_poses, jnp.logical_not(finite))
+        new_poses = jnp.where(skip_poses, state.poses, new_poses)
+        opt_poses = _tree_where(skip_poses, state.opt_poses, opt_poses_new)
+
+        # Occupancy-grid update (every n_iters_acc steps; flag set by caller).
+        def occ_update(occ_and_opt):
+            occ_grid, opt_occ = occ_and_opt
+            z_metric = render.z_vals * scale
+            d_metric = (bundle.depth * scale)[:, None]
+            g_occ = occ_grid_cotangent(
+                occ_grid,
+                jax.lax.stop_gradient(render.points),
+                z_metric,
+                d_metric,
+                bundle.valid,
+            )
+            updates, new_opt = tx_occ.update(g_occ, opt_occ, occ_grid)
+            return optax.apply_updates(occ_grid, updates), new_opt
+
+        occ_grid, opt_occ = jax.lax.cond(
+            jnp.logical_and(flags.do_occ_update, finite),
+            occ_update,
+            lambda x: x,
+            (state.occ_grid, state.opt_occ),
+        )
+
+        new_state = MapperState(
+            params={"sigma": new_sigma, "intensity": new_intensity},
+            poses=new_poses,
+            opt_sigma=opt_sigma,
+            opt_intensity=opt_intensity,
+            opt_poses=opt_poses,
+            occ_grid=occ_grid,
+            opt_occ=opt_occ,
+            global_step=state.global_step + 1,
+            skipped_steps=state.skipped_steps + jnp.where(finite, 0, 1).astype(jnp.int32),
+        )
+        aux = dict(aux)
+        aux["loss"] = loss
+        aux["finite"] = finite
+        return new_state, aux
+
+    return train_step
+
+
+def make_render_fn(cfg: MapperConfig, test: bool = True):
+    """A jitted depth/render evaluation on a fixed-size ray bundle (the
+    reference's ``Model.forward(testing=True)`` role for eval/analysis)."""
+
+    n_samples = cfg.n_samples_test if test else cfg.n_samples_train
+
+    @jax.jit
+    def render_fn(params, occ_grid, bundle: RayBundle, key: jax.Array):
+        if cfg.samples_strategy == "OGM":
+            z_vals = sampling.occ_grid_sampler_z_vals(key, bundle, occ_grid, n_samples, perturb=0.0)
+        else:
+            z_vals = sampling.uniform_sampler_z_vals(key, bundle, n_samples, perturb=0.0)
+        return render_rays(params, bundle, z_vals, cfg.nerf, sigma_only=True)
+
+    return render_fn

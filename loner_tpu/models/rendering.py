@@ -51,7 +51,10 @@ def composite(
     deltas = z_vals[:, 1:] - z_vals[:, :-1]
     delta_inf = jnp.full_like(deltas[:, :1], 1e10)
     deltas = jnp.concatenate([deltas, delta_inf], axis=-1)
-    deltas = deltas * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    # eps-safe norm: padded rays have zero directions; a bare norm yields NaN
+    # gradients there that leak past the loss mask into the pose gradients.
+    d_norm = jnp.sqrt(jnp.sum(rays_d * rays_d, axis=-1, keepdims=True) + 1e-20)
+    deltas = deltas * d_norm
 
     density = jax.nn.softplus(sigmas) if softplus else jax.nn.relu(sigmas)
     alphas = 1.0 - jnp.exp(-deltas * density)

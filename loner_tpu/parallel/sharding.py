@@ -1,0 +1,50 @@
+"""Multi-chip scaling via jax.sharding: data-parallel ray batches.
+
+The reference is single-device (SURVEY §2.4); distribution is the genuinely
+new part of this framework. v1 axis: **ray-batch data parallelism** — the
+active window's keyframes are partitioned across chips, parameters and poses
+are replicated, and XLA inserts the psum for gradients over the replicated
+parameters automatically ("computation follows sharding"). Collectives ride
+ICI; nothing crosses hosts in this mode.
+
+Planned further axes (tracked in ROADMAP): hash-table tensor parallelism for
+maps that exceed per-chip HBM, and submap-per-host partitioning over DCN.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_window(window, mesh: Mesh, axis: str = "data"):
+    """Partition a KeyFrameWindow's leading (keyframe) axis across chips.
+    window_size must be divisible by the mesh size."""
+    return jax.device_put(window, NamedSharding(mesh, P(axis)))
+
+
+def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data"):
+    """Wrap a train step so inputs are placed with DP shardings before the
+    call. The step itself is already jitted; XLA partitions it according to
+    the argument shardings and all-reduces parameter gradients over ICI."""
+
+    def sharded_step(state, window, key, flags, pose_mask, iteration):
+        state = replicate_to_mesh(state, mesh)
+        window = shard_window(window, mesh, axis)
+        return train_step(state, window, key, flags, pose_mask, iteration)
+
+    return sharded_step

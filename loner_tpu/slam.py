@@ -1,0 +1,135 @@
+"""The SLAM orchestrator: tracker + mapper + logger, single- or dual-threaded.
+
+Covers the reference's ``Loner`` class (``src/loner.py``): wires the tracking
+and mapping halves together, owns the world cube and output directory
+contract, and runs either inline (the reference's ``single_threaded`` mode —
+also our deterministic test harness) or with the mapper on a worker thread
+fed through a bounded queue with time-delta backpressure (the reference's
+two-process + Manager-queue design collapsed to host threads around async
+device dispatch; SURVEY §2.4).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from loner_tpu.data.scan import LidarScan
+from loner_tpu.geometry.world_cube import WorldCube
+from loner_tpu.mapping.mapper import OnlineMapper, OnlineMapperConfig
+from loner_tpu.runtime.trajectory_logger import TrajectoryLogger
+from loner_tpu.tracking.frame_synthesis import FrameSynthesis, FrameSynthesisConfig
+from loner_tpu.tracking.tracker import Tracker, TrackerConfig
+
+
+@dataclass
+class SlamConfig:
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    frame_synthesis: FrameSynthesisConfig = field(default_factory=FrameSynthesisConfig)
+    mapper: OnlineMapperConfig = field(default_factory=OnlineMapperConfig)
+    single_threaded: bool = True
+    # tracker may run at most this far ahead of the last mapped frame
+    # (reference synchronization.max_time_delta; tracker.py:86-88)
+    max_time_delta: float = 3.0
+    use_groundtruth_poses: bool = False  # debug flag analog
+
+
+class LonerSLAM:
+    def __init__(self, cfg: SlamConfig, cube: WorldCube):
+        self.cfg = cfg
+        self.cube = cube
+        self.tracker = Tracker(cfg.tracker)
+        self.frame_synthesis = FrameSynthesis(cfg.frame_synthesis)
+        self.mapper = OnlineMapper(cfg.mapper, cube)
+        self.logger = TrajectoryLogger()
+        self.mapper.keyframe_update_callbacks.append(self.logger.update_keyframe)
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._last_mapped_time = 0.0
+        self._worker_error: Optional[BaseException] = None
+        if not cfg.single_threaded:
+            self._worker = threading.Thread(target=self._mapper_loop, daemon=True)
+            self._worker.start()
+
+    # ------------------------------------------------------------------
+    def _mapper_loop(self):
+        while not self._stop.is_set() or not self._queue.empty():
+            try:
+                item = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                self._map_frame(*item)
+            except BaseException as e:  # surfaced on stop()
+                self._worker_error = e
+                break
+
+    def _map_frame(self, scan, timestamp, pose, gt_pose, sky):
+        self.mapper.process_frame(
+            scan,
+            timestamp,
+            pose,
+            gt_pose=gt_pose,
+            sky=sky,
+            use_gt_pose=self.cfg.use_groundtruth_poses,
+        )
+        self._last_mapped_time = timestamp
+
+    # ------------------------------------------------------------------
+    def process_scan(
+        self,
+        scan: LidarScan,
+        timestamp: float,
+        gt_pose: Optional[np.ndarray] = None,
+        sky: Optional[LidarScan] = None,
+    ) -> Optional[np.ndarray]:
+        """Feed one lidar sweep. Returns the tracked pose if the scan
+        survived decimation, else None."""
+        if not self.frame_synthesis.accepts(timestamp):
+            return None
+
+        result = self.tracker.track(scan, timestamp)
+        self.logger.log_frame(timestamp, result.pose, gt_pose)
+
+        if self.cfg.single_threaded:
+            self._map_frame(result.scan, timestamp, result.pose, gt_pose, sky)
+        else:
+            # backpressure: don't run ahead of the mapper by more than
+            # max_time_delta (reference tracker.py:86-88)
+            while (
+                timestamp - self._last_mapped_time > self.cfg.max_time_delta
+                and not self._queue.empty()
+                and self._worker_error is None
+            ):
+                time.sleep(0.005)
+            self._queue.put((result.scan, timestamp, result.pose, gt_pose, sky))
+        return result.pose
+
+    def stop(self, out_dir: Optional[str] = None):
+        """Two-phase shutdown: drain the mapper queue, stop the worker,
+        write trajectories (the reference's stop protocol, loner.py:217-250)."""
+        if self._worker is not None:
+            self._stop.set()
+            self._worker.join(timeout=600)
+        if self._worker_error is not None:
+            raise self._worker_error
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            self.logger.finish(os.path.join(out_dir, "trajectory"))
+            np.savetxt(
+                os.path.join(out_dir, "track_times.csv"),
+                np.asarray(self.tracker.track_times),
+                delimiter=",",
+            )
+            np.savetxt(
+                os.path.join(out_dir, "map_times.csv"),
+                np.asarray(self.mapper.map_times),
+                delimiter=",",
+            )

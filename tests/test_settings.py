@@ -1,0 +1,81 @@
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from loner_tpu.config.settings import Settings, generate_options, load_settings
+
+
+@pytest.fixture
+def cfg_tree(tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "model.yaml").write_text(
+        "render:\n  n_samples: 512\n  chunk: 16384\n"
+    )
+    (tmp_path / "defaults.yaml").write_text(
+        "tracker:\n  icp:\n    threshold: 1.5\n"
+        "model: !include sub/model.yaml\n"
+        "data:\n  ray_range: [1, 50]\n"
+    )
+    (tmp_path / "sequence.yaml").write_text(
+        "baseline: defaults.yaml\n"
+        "changes:\n  data:\n    ray_range: [1, 75]\n"
+        "dataset_path: /data/quad\n"
+    )
+    return tmp_path
+
+
+class TestSettings:
+    def test_attribute_access(self):
+        s = Settings({"a": {"b": {"c": 3}}})
+        assert s.a.b.c == 3
+
+    def test_include(self, cfg_tree):
+        s = load_settings(str(cfg_tree / "defaults.yaml"))
+        assert s.model.render.n_samples == 512
+        assert s.tracker.icp.threshold == 1.5
+
+    def test_sequence_baseline_and_changes(self, cfg_tree):
+        s = load_settings(str(cfg_tree / "sequence.yaml"))
+        assert s.data.ray_range == [1, 75]  # overridden
+        assert s.model.render.chunk == 16384  # inherited
+        assert s.dataset_path == "/data/quad"
+
+    def test_augment_deep_merge(self):
+        s = Settings({"a": {"b": 1, "c": 2}, "d": 3})
+        out = s.augment({"a": {"b": 10}})
+        assert out.a.b == 10 and out.a.c == 2 and out.d == 3
+        assert s.a.b == 1  # original untouched
+
+    def test_path_helpers(self):
+        s = Settings({"a": {"b": 1}})
+        assert s.get_path("a.b") == 1
+        assert s.get_path("a.zzz", "dflt") == "dflt"
+        s.set_path("x.y.z", 5)
+        assert s.x.y.z == 5
+
+    def test_yaml_roundtrip(self, tmp_path):
+        s = Settings({"a": {"b": [1, 2]}, "c": "str"})
+        p = str(tmp_path / "out.yaml")
+        s.dump_yaml(p)
+        with open(p) as f:
+            back = yaml.safe_load(f)
+        assert back == s.to_dict()
+
+
+class TestGenerateOptions:
+    def test_one_at_a_time(self):
+        base = Settings({"opt": {"lr": 0.01}, "n": 8})
+        opts = generate_options(base, {"opt.lr": [0.01, 0.1], "n": [16]})
+        descs = [d for _, d in opts]
+        assert descs[0] == "baseline"
+        assert "lr=0.1" in descs and "n=16" in descs
+        assert len(opts) == 3  # baseline + lr=0.1 + n=16 (0.01 == baseline skipped)
+
+    def test_cartesian(self):
+        base = Settings({"a": 1, "b": 2})
+        opts = generate_options(base, {"a": [1, 10], "b": [2, 20]}, run_all_combos=True)
+        assert len(opts) == 4
+        vals = {(s.a, s.b) for s, _ in opts}
+        assert vals == {(1, 2), (1, 20), (10, 2), (10, 20)}
