@@ -109,6 +109,21 @@ def composite_peak_adjusted(
     return rgb, depth, weights, opacity, variance
 
 
+def _apply_point_chunks(fn, x, n_chunks: int):
+    """Evaluate ``fn`` over the leading axis in ``n_chunks`` sequential
+    chunks via lax.map — the TPU netchunk: XLA lane-pads the hash-gather
+    intermediates 16x (minor dims 8 and 2), so evaluating millions of points
+    in one shot blows HBM temps; sequential chunks bound them while keeping
+    one fused program per chunk."""
+    leaves = jax.tree.leaves(x)
+    n = leaves[0].shape[0]
+    if n_chunks <= 1 or n % n_chunks != 0:
+        return fn(x)
+    xs = jax.tree.map(lambda a: a.reshape(n_chunks, n // n_chunks, *a.shape[1:]), x)
+    ys = jax.lax.map(fn, xs)
+    return ys.reshape(n, *ys.shape[2:])
+
+
 def render_rays(
     params: dict,
     bundle,
@@ -117,6 +132,7 @@ def render_rays(
     sigma_only: bool = False,
     detach_sigma: bool = True,
     render_strategy: str = "default",
+    point_chunks: int = 8,
 ) -> RenderResult:
     """Evaluate the field at o + d*z and composite.
 
@@ -129,10 +145,20 @@ def render_rays(
 
     flat_pts = pts.reshape(-1, 3)
     if sigma_only:
-        raw = query_nerf(params, flat_pts, None, cfg, sigma_only=True)
+        raw = _apply_point_chunks(
+            lambda p: query_nerf(params, p, None, cfg, sigma_only=True),
+            flat_pts,
+            point_chunks,
+        )
     else:
         flat_dirs = jnp.repeat(bundle.viewdirs, s, axis=0)
-        raw = query_nerf(params, flat_pts, flat_dirs, cfg, sigma_only=False, detach_sigma=detach_sigma)
+        raw = _apply_point_chunks(
+            lambda args: query_nerf(
+                params, args[0], args[1], cfg, sigma_only=False, detach_sigma=detach_sigma
+            ),
+            (flat_pts, flat_dirs),
+            point_chunks,
+        )
     raw = raw.reshape(n, s, -1)
 
     if render_strategy == "default":
