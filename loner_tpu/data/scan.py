@@ -54,11 +54,14 @@ def make_lidar_scan(
     pad = pad_to - n
     valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
     f = lambda a, d: np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+    # numpy-backed on purpose: scans are host-side data until a window is
+    # stacked and shipped to the device in one transfer (op-by-op device
+    # work is expensive on remote-compile backends)
     return LidarScan(
-        jnp.asarray(f(ray_directions.astype(np.float32), 3)),
-        jnp.asarray(f(distances.astype(np.float32), 1)),
-        jnp.asarray(f(timestamps.astype(np.float32), 1)),
-        jnp.asarray(valid),
+        f(ray_directions.astype(np.float32), 3),
+        f(distances.astype(np.float32), 1),
+        f(timestamps.astype(np.float32), 1),
+        valid,
     )
 
 

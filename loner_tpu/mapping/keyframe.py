@@ -63,21 +63,29 @@ class KeyFrameWindow(NamedTuple):
 def stack_window(keyframes: List[KeyFrame], n_sky_pad: int = 64) -> KeyFrameWindow:
     """Stack keyframes into a fixed-shape window. All scans must share the
     same padded point budget (enforced by the dataset/frame-synthesis layer).
+
+    Stacking happens host-side (scans are numpy-backed); the result ships to
+    the device as one transfer per field.
     """
-    dirs = jnp.stack([kf.scan.ray_directions for kf in keyframes])
-    dists = jnp.stack([kf.scan.distances for kf in keyframes])
-    valid = jnp.stack([kf.scan.valid for kf in keyframes])
+    dirs = np.stack([np.asarray(kf.scan.ray_directions) for kf in keyframes])
+    dists = np.stack([np.asarray(kf.scan.distances) for kf in keyframes])
+    valid = np.stack([np.asarray(kf.scan.valid) for kf in keyframes])
 
     skys_d, skys_v = [], []
     for kf in keyframes:
         if kf.sky is not None:
-            skys_d.append(kf.sky.ray_directions)
-            skys_v.append(kf.sky.valid)
+            skys_d.append(np.asarray(kf.sky.ray_directions))
+            skys_v.append(np.asarray(kf.sky.valid))
         else:
-            skys_d.append(jnp.zeros((n_sky_pad, 3), dtype=dirs.dtype))
-            skys_v.append(jnp.zeros((n_sky_pad,), dtype=bool))
-    sky_dirs = jnp.stack(skys_d)
-    sky_valid = jnp.stack(skys_v)
+            skys_d.append(np.zeros((n_sky_pad, 3), dtype=np.float32))
+            skys_v.append(np.zeros((n_sky_pad,), dtype=bool))
 
-    pose_idx = jnp.asarray([kf.pose_index for kf in keyframes], dtype=jnp.int32)
-    return KeyFrameWindow(dirs, dists, valid, sky_dirs, sky_valid, pose_idx)
+    pose_idx = np.asarray([kf.pose_index for kf in keyframes], dtype=np.int32)
+    return KeyFrameWindow(
+        jnp.asarray(dirs),
+        jnp.asarray(dists),
+        jnp.asarray(valid),
+        jnp.asarray(np.stack(skys_d)),
+        jnp.asarray(np.stack(skys_v)),
+        jnp.asarray(pose_idx),
+    )

@@ -105,21 +105,28 @@ def make_optimizers(cfg: MapperConfig):
 
 
 def init_mapper_state(key: jax.Array, cfg: MapperConfig) -> MapperState:
-    params = init_nerf(key, cfg.nerf)
-    poses = jnp.zeros((cfg.max_keyframes, 6), dtype=jnp.float32)
-    occ = init_occ_grid(cfg.occ)
     tx_s, tx_i, tx_p, tx_o = make_optimizers(cfg)
-    return MapperState(
-        params=params,
-        poses=poses,
-        opt_sigma=tx_s.init(params["sigma"]),
-        opt_intensity=tx_i.init(params["intensity"]),
-        opt_poses=tx_p.init(poses),
-        occ_grid=occ,
-        opt_occ=tx_o.init(occ),
-        global_step=jnp.asarray(0, jnp.int32),
-        skipped_steps=jnp.asarray(0, jnp.int32),
-    )
+
+    # one jitted program for the whole init: on remote-compile backends
+    # op-by-op initialization costs minutes, one fused program costs seconds
+    @jax.jit
+    def _init(key):
+        params = init_nerf(key, cfg.nerf)
+        poses = jnp.zeros((cfg.max_keyframes, 6), dtype=jnp.float32)
+        occ = init_occ_grid(cfg.occ)
+        return MapperState(
+            params=params,
+            poses=poses,
+            opt_sigma=tx_s.init(params["sigma"]),
+            opt_intensity=tx_i.init(params["intensity"]),
+            opt_poses=tx_p.init(poses),
+            occ_grid=occ,
+            opt_occ=tx_o.init(occ),
+            global_step=jnp.asarray(0, jnp.int32),
+            skipped_steps=jnp.asarray(0, jnp.int32),
+        )
+
+    return _init(key)
 
 
 def _tree_where(flag, a, b):

@@ -120,7 +120,9 @@ def _apply_point_chunks(fn, x, n_chunks: int):
     if n_chunks <= 1 or n % n_chunks != 0:
         return fn(x)
     xs = jax.tree.map(lambda a: a.reshape(n_chunks, n // n_chunks, *a.shape[1:]), x)
-    ys = jax.lax.map(fn, xs)
+    # checkpoint per chunk: without it the map's saved residuals stack the
+    # padded gather intermediates back to full size, defeating the chunking
+    ys = jax.lax.map(jax.checkpoint(fn), xs)
     return ys.reshape(n, *ys.shape[2:])
 
 
