@@ -19,8 +19,17 @@ REALTIME_FLOOR_ITS_PER_SEC = 50.0 / 3.0
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the flagship step is a large program and
+    # remote-compile backends take minutes on a cold cache
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _flagship
     from loner_tpu.mapping.optimizer import TrainStepFlags, make_train_step

@@ -21,24 +21,7 @@ import numpy as np
 import yaml
 
 
-def load_run(run_dir: str):
-    import jax
-
-    from loner_tpu.config.build import build_mapper_config
-    from loner_tpu.config.settings import Settings
-    from loner_tpu.geometry.world_cube import WorldCube
-    from loner_tpu.mapping.optimizer import init_mapper_state
-    from loner_tpu.runtime.checkpoints import latest_checkpoint, load_checkpoint
-
-    settings = Settings.load_pickle(os.path.join(run_dir, "full_config.pkl"))
-    with open(os.path.join(run_dir, "world_cube.yaml")) as f:
-        cube = WorldCube.from_dict(yaml.safe_load(f))
-    cfg = build_mapper_config(settings, float(cube.scale_factor))
-    ckpt = latest_checkpoint(os.path.join(run_dir, "checkpoints"))
-    assert ckpt, f"no checkpoint under {run_dir}/checkpoints"
-    template = {"state": init_mapper_state(jax.random.PRNGKey(0), cfg)}
-    state = load_checkpoint(ckpt, template)["state"]
-    return cfg, cube, state
+from loner_tpu.runtime.run_io import load_run  # noqa: E402
 
 
 def main():

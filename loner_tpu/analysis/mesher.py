@@ -145,7 +145,10 @@ class Mesher:
                 key, sub = jax.random.split(key)
                 r = render_fn(self.state.params, self.state.occ_grid, bundle, sub)
                 n_real = chunk - pad
-                all_pts.append(np.asarray(r.points)[:n_real].reshape(-1, 3))
+                # RenderResult.points is transposed (3, N, S)
+                all_pts.append(
+                    np.moveaxis(np.asarray(r.points), 0, -1)[:n_real].reshape(-1, 3)
+                )
                 all_w.append(np.asarray(r.weights)[:n_real].reshape(-1))
 
         pts = np.concatenate(all_pts)

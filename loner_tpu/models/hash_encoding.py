@@ -12,9 +12,11 @@ Matching tcnn semantics:
   * dense tight indexing while resolution^3 <= T
   * table init uniform in [-1e-4, 1e-4]
 
-The table is stored as one (L, T, F) array so all levels gather with a single
-batched op. The forward here is pure jnp (XLA gather); a Pallas TPU kernel for
-the gather/scatter hot path lives in ``loner_tpu.ops``.
+TPU layout: everything keeps the POINT axis minor. The table is stored
+``(L, F, T)`` (features leading) and the encoder returns ``(L*F, N)``,
+because XLA/TPU pads the last dimension to 128 lanes — a ``(N, 2)`` feature
+layout inflates 64x in HBM (measured: the 32 MB sigma table ballooned to a
+2.0 GB padded temp). With points minor, nothing pads.
 """
 from __future__ import annotations
 
@@ -57,8 +59,8 @@ class HashEncodingConfig(NamedTuple):
 
 
 def init_hash_table(key: jax.Array, cfg: HashEncodingConfig, dtype=jnp.float32) -> jnp.ndarray:
-    """(L, T, F) feature table, uniform in [-1e-4, 1e-4] like tcnn."""
-    shape = (cfg.n_levels, cfg.table_size, cfg.n_features_per_level)
+    """(L, F, T) feature table, uniform in [-1e-4, 1e-4] like tcnn."""
+    shape = (cfg.n_levels, cfg.n_features_per_level, cfg.table_size)
     return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
 
 
@@ -68,51 +70,59 @@ _CORNERS = np.array(
 )
 
 
-def _corner_indices(cells: jnp.ndarray, res: int, dense: bool, table_size: int) -> jnp.ndarray:
-    """Table index for each of 8 corners. cells: (N, 3) int32 -> (N, 8)."""
-    corners = cells[:, None, :] + _CORNERS[None, :, :]  # (N, 8, 3)
+def _corner_indices_t(cells: jnp.ndarray, res: int, dense: bool, table_size: int) -> jnp.ndarray:
+    """Table index for each of 8 corners, corner axis LEADING.
+    cells: (3, N) int32 -> (8, N)."""
+    corners = cells[None, :, :] + _CORNERS[:, :, None]  # (8, 3, N)
     corners = jnp.clip(corners, 0, res - 1)
     if dense:
-        idx = corners[..., 0] + corners[..., 1] * res + corners[..., 2] * (res * res)
+        idx = corners[:, 0] + corners[:, 1] * res + corners[:, 2] * (res * res)
     else:
         c = corners.astype(jnp.uint32)
         idx = (
-            c[..., 0] * jnp.uint32(_PRIMES[0])
-            ^ c[..., 1] * jnp.uint32(_PRIMES[1])
-            ^ c[..., 2] * jnp.uint32(_PRIMES[2])
+            c[:, 0] * jnp.uint32(_PRIMES[0])
+            ^ c[:, 1] * jnp.uint32(_PRIMES[1])
+            ^ c[:, 2] * jnp.uint32(_PRIMES[2])
         )
         idx = (idx % jnp.uint32(table_size)).astype(jnp.int32)
     return idx
 
 
-def hash_encode(table: jnp.ndarray, pts: jnp.ndarray, cfg: HashEncodingConfig) -> jnp.ndarray:
-    """Encode points.
+def hash_encode_t(table: jnp.ndarray, pts_t: jnp.ndarray, cfg: HashEncodingConfig) -> jnp.ndarray:
+    """Encode points, transposed layout.
 
-    table: (L, T, F). pts: (N, 3) in [0, 1]. Returns (N, L*F), level-major
-    feature order (level 0 features first), matching tcnn's output layout.
+    table: (L, F, T). pts_t: (3, N) in [0, 1] — point axis minor. Returns
+    (L*F, N), level-major feature order, matching tcnn's output layout
+    (transposed).
     """
-    n = pts.shape[0]
     scales = cfg.level_scales()
     resolutions = cfg.level_resolutions()
     dense = cfg.level_is_dense()
+    corner_f = _CORNERS.astype(np.float32)  # (8, 3)
 
     outputs = []
     for lvl in range(cfg.n_levels):
-        scaled = pts * jnp.float32(scales[lvl]) + 0.5
+        scaled = pts_t * jnp.float32(scales[lvl]) + 0.5  # (3, N)
         cells = jnp.floor(scaled)
-        frac = scaled - cells  # (N, 3)
+        frac = scaled - cells  # (3, N)
         cells = cells.astype(jnp.int32)
 
-        idx = _corner_indices(cells, int(resolutions[lvl]), bool(dense[lvl]), cfg.table_size)
+        idx = _corner_indices_t(cells, int(resolutions[lvl]), bool(dense[lvl]), cfg.table_size)
 
-        feats = table[lvl][idx]  # (N, 8, F)
+        feats = table[lvl][:, idx]  # (F, 8, N)
 
-        # Trilinear weights: prod over axes of frac or (1-frac) per corner.
-        corner_f = _CORNERS.astype(np.float32)  # (8, 3)
+        # Trilinear weights (8, N): prod over axes of frac or (1-frac).
         w = jnp.prod(
-            corner_f[None] * frac[:, None, :] + (1.0 - corner_f[None]) * (1.0 - frac[:, None, :]),
-            axis=-1,
-        )  # (N, 8)
-        outputs.append(jnp.sum(feats * w[..., None], axis=1))  # (N, F)
+            corner_f[:, :, None] * frac[None, :, :]
+            + (1.0 - corner_f[:, :, None]) * (1.0 - frac[None, :, :]),
+            axis=1,
+        )
+        outputs.append(jnp.einsum("fcn,cn->fn", feats, w))  # (F, N)
 
-    return jnp.concatenate(outputs, axis=-1)
+    return jnp.concatenate(outputs, axis=0)
+
+
+def hash_encode(table: jnp.ndarray, pts: jnp.ndarray, cfg: HashEncodingConfig) -> jnp.ndarray:
+    """(N, 3) -> (N, L*F) convenience wrapper (use ``hash_encode_t`` on hot
+    paths)."""
+    return hash_encode_t(table, pts.T, cfg).T

@@ -56,3 +56,24 @@ def mlp_apply(params: dict, x: jnp.ndarray, cfg: MLPConfig) -> jnp.ndarray:
         if i < n - 1:
             h = act(h)
     return h
+
+
+def mlp_apply_t(params: dict, x_t: jnp.ndarray, cfg: MLPConfig) -> jnp.ndarray:
+    """Transposed MLP: x_t is (in_dim, N), result (out_dim, N).
+
+    The hot-path variant: with the point axis minor nothing lane-pads, and
+    every matmul is (out, in) @ (in, N) — MXU-shaped for N >= 128.
+    """
+    act = _ACTS[cfg.activation]
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    h = x_t
+    n = len(params["w"])
+    for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        h = (
+            jnp.dot(w.T.astype(compute_dtype), h.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            + b[:, None]
+        )
+        if i < n - 1:
+            h = act(h)
+    return h

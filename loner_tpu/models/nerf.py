@@ -9,6 +9,10 @@ Positions arrive in world-cube coords [-1, 1]^3 and are mapped to [0, 1]^3 at
 the input, like the reference's ``(pos+1)/2``. ``detach_sigma`` stops
 gradients into the sigma branch when training intensity (the reference's
 ``no_grad`` path). Non-finite sigma is sanitized like the reference's clamp.
+
+TPU layout: the core is *transposed* — features on leading axes, the point
+axis minor (``query_sigma_t`` -> (N,), ``query_nerf_t`` -> (C+1, N)) so
+nothing lane-pads; the untransposed wrappers exist for analysis-time use.
 """
 from __future__ import annotations
 
@@ -17,9 +21,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from loner_tpu.models.hash_encoding import HashEncodingConfig, hash_encode, init_hash_table
-from loner_tpu.models.mlp import MLPConfig, init_mlp, mlp_apply
-from loner_tpu.models.sh_encoding import sh_encode
+from loner_tpu.models.hash_encoding import HashEncodingConfig, hash_encode_t, init_hash_table
+from loner_tpu.models.mlp import MLPConfig, init_mlp, mlp_apply_t
+from loner_tpu.models.sh_encoding import sh_encode_t
 
 
 class NeRFConfig(NamedTuple):
@@ -33,6 +37,9 @@ class NeRFConfig(NamedTuple):
     intensity_hidden_dim: int = 64
     intensity_hidden_layers: int = 4
     compute_dtype: str = "float32"
+    # "packed" = bf16 pair-packed gathers + custom VJP (half the gather
+    # traffic; the TPU default). "exact" = plain f32 jnp path.
+    encoding_impl: str = "packed"
 
     def sigma_mlp_config(self) -> MLPConfig:
         return MLPConfig(
@@ -76,38 +83,65 @@ def _sanitize_sigma(sigma: jnp.ndarray) -> jnp.ndarray:
     return jnp.nan_to_num(sigma, nan=0.0, posinf=big, neginf=-big)
 
 
+def _encode_t(table, pos_t, enc_cfg: HashEncodingConfig, impl: str) -> jnp.ndarray:
+    if impl == "packed":
+        from loner_tpu.ops.hash_encode_fast import hash_encode_packed_t
+
+        return hash_encode_packed_t(table, pos_t, enc_cfg, None)
+    return hash_encode_t(table, pos_t, enc_cfg)
+
+
+def query_sigma_t(params: dict, pts_cube_t: jnp.ndarray, cfg: NeRFConfig) -> jnp.ndarray:
+    """pts_cube_t: (3, N) in [-1,1], point axis minor -> sigma logits (N,)."""
+    pos = (pts_cube_t + 1.0) / 2.0
+    h = _encode_t(params["sigma"]["table"], pos, cfg.pos_encoding_sigma, cfg.encoding_impl)
+    sigma = mlp_apply_t(params["sigma"]["mlp"], h, cfg.sigma_mlp_config())  # (1, N)
+    return _sanitize_sigma(sigma[0])
+
+
 def query_sigma(params: dict, pts_cube: jnp.ndarray, cfg: NeRFConfig) -> jnp.ndarray:
-    """pts_cube: (N, 3) in [-1,1] -> sigma logits (N, 1)."""
-    pos = (pts_cube + 1.0) / 2.0
-    h = hash_encode(params["sigma"]["table"], pos, cfg.pos_encoding_sigma)
-    sigma = mlp_apply(params["sigma"]["mlp"], h, cfg.sigma_mlp_config())
-    return _sanitize_sigma(sigma[..., :1])
+    """(N, 3) -> (N, 1) wrapper."""
+    return query_sigma_t(params, pts_cube.T, cfg)[:, None]
 
 
-def query_nerf(
+def query_nerf_t(
     params: dict,
-    pts_cube: jnp.ndarray,  # (N, 3) in [-1, 1]
-    viewdirs: Optional[jnp.ndarray],  # (N, 3) unit, or None
+    pts_cube_t: jnp.ndarray,  # (3, N) in [-1, 1]
+    viewdirs_t: Optional[jnp.ndarray],  # (3, N) unit, or None
     cfg: NeRFConfig,
     sigma_only: bool = False,
     detach_sigma: bool = True,
 ) -> jnp.ndarray:
-    """Returns (N, 1) sigma if sigma_only else (N, num_colors+1) [color, sigma]."""
-    sigma_params = params["sigma"]
+    """Transposed query: (1, N) sigma if sigma_only else (num_colors+1, N)
+    rows [color..., sigma]."""
+    sigma_params = params
     if detach_sigma and not sigma_only:
-        sigma_params = jax.lax.stop_gradient(sigma_params)
-    sigma = query_sigma({"sigma": sigma_params}, pts_cube, cfg)
+        sigma_params = jax.lax.stop_gradient(params)
+    sigma = query_sigma_t(sigma_params, pts_cube_t, cfg)  # (N,)
     if detach_sigma and not sigma_only:
         sigma = jax.lax.stop_gradient(sigma)
     if sigma_only:
-        return sigma
+        return sigma[None, :]
 
-    pos = (pts_cube + 1.0) / 2.0
-    h_x = hash_encode(params["intensity"]["table"], pos, cfg.pos_encoding_intensity)
+    pos = (pts_cube_t + 1.0) / 2.0
+    h_x = _encode_t(params["intensity"]["table"], pos, cfg.pos_encoding_intensity, cfg.encoding_impl)
     if cfg.enable_view_dependence:
-        h_d = sh_encode(viewdirs, cfg.sh_degree)
-        h_x = jnp.concatenate([h_x, h_d], axis=-1)
+        h_d = sh_encode_t(viewdirs_t.T, cfg.sh_degree)
+        h_x = jnp.concatenate([h_x, h_d], axis=0)
     color = jax.nn.sigmoid(
-        mlp_apply(params["intensity"]["mlp"], h_x, cfg.intensity_mlp_config())
-    )
-    return jnp.concatenate([color, sigma], axis=-1)
+        mlp_apply_t(params["intensity"]["mlp"], h_x, cfg.intensity_mlp_config())
+    )  # (C, N)
+    return jnp.concatenate([color, sigma[None, :]], axis=0)
+
+
+def query_nerf(
+    params: dict,
+    pts_cube: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    cfg: NeRFConfig,
+    sigma_only: bool = False,
+    detach_sigma: bool = True,
+) -> jnp.ndarray:
+    """Untransposed wrapper: (N, 3) [+ dirs] -> (N, 1) or (N, num_colors+1)."""
+    vt = None if viewdirs is None else viewdirs.T
+    return query_nerf_t(params, pts_cube.T, vt, cfg, sigma_only, detach_sigma).T

@@ -30,24 +30,24 @@ def init_occ_grid(cfg: OccGridConfig, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.zeros((v, v, v), dtype=dtype)
 
 
-def occ_grid_interpolate(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+def occ_grid_interpolate_t(grid: jnp.ndarray, pts_t: jnp.ndarray) -> jnp.ndarray:
     """Trilinear interpolation of ``grid`` (V,V,V ordered [z,y,x]) at
-    ``pts`` (..., 3) with coords in [-1, 1].
+    ``pts_t`` (3, ...) with coords in [-1, 1] — component axis LEADING so the
+    batch axes stay minor (TPU lane padding).
 
     align_corners=False: coordinate c maps to pixel index ((c+1)*V - 1)/2;
     out-of-range corners contribute zero (zero padding).
     """
     v = grid.shape[0]
-    # pixel-space coords, one per axis; pts[...,0]=x -> last grid axis
-    pix = ((pts + 1.0) * v - 1.0) / 2.0  # (..., 3)
+    pix = ((pts_t + 1.0) * v - 1.0) / 2.0  # (3, ...)
     lo = jnp.floor(pix)
     frac = pix - lo
     lo = lo.astype(jnp.int32)
 
     def corner_value(dx, dy, dz):
-        cx = lo[..., 0] + dx
-        cy = lo[..., 1] + dy
-        cz = lo[..., 2] + dz
+        cx = lo[0] + dx
+        cy = lo[1] + dy
+        cz = lo[2] + dz
         inb = (
             (cx >= 0) & (cx < v) & (cy >= 0) & (cy < v) & (cz >= 0) & (cz < v)
         )
@@ -55,9 +55,9 @@ def occ_grid_interpolate(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         cyc = jnp.clip(cy, 0, v - 1)
         czc = jnp.clip(cz, 0, v - 1)
         val = grid[czc, cyc, cxc]
-        wx = jnp.where(dx == 1, frac[..., 0], 1.0 - frac[..., 0])
-        wy = jnp.where(dy == 1, frac[..., 1], 1.0 - frac[..., 1])
-        wz = jnp.where(dz == 1, frac[..., 2], 1.0 - frac[..., 2])
+        wx = jnp.where(dx == 1, frac[0], 1.0 - frac[0])
+        wy = jnp.where(dy == 1, frac[1], 1.0 - frac[1])
+        wz = jnp.where(dz == 1, frac[2], 1.0 - frac[2])
         return jnp.where(inb, val, 0.0) * wx * wy * wz
 
     out = 0.0
@@ -68,13 +68,23 @@ def occ_grid_interpolate(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def occupancy_probs(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """Sampling probabilities from logits, as ``OccGridRaySampler`` computes
-    them (``src/models/ray_sampling.py:78-81``): sigmoid, clamp to [0.5, 1],
-    rescale to [0, 1]."""
-    logits = occ_grid_interpolate(grid, pts)
+def occ_grid_interpolate(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3)-layout wrapper over ``occ_grid_interpolate_t``."""
+    return occ_grid_interpolate_t(grid, jnp.moveaxis(pts, -1, 0))
+
+
+def occupancy_probs_t(grid: jnp.ndarray, pts_t: jnp.ndarray) -> jnp.ndarray:
+    """Sampling probabilities from logits (transposed points), as
+    ``OccGridRaySampler`` computes them (``src/models/ray_sampling.py:78-81``):
+    sigmoid, clamp to [0.5, 1], rescale to [0, 1]."""
+    logits = occ_grid_interpolate_t(grid, pts_t)
     probs = jax.nn.sigmoid(logits)
     return 2.0 * (jnp.clip(probs, 0.5, 1.0) - 0.5)
+
+
+def occupancy_probs(grid: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3)-layout wrapper."""
+    return occupancy_probs_t(grid, jnp.moveaxis(pts, -1, 0))
 
 
 def occ_logits_grad(
@@ -96,7 +106,7 @@ def occ_logits_grad(
 
 def occ_grid_cotangent(
     grid: jnp.ndarray,
-    points_cube: jnp.ndarray,  # (N, S, 3) sample points in [-1,1]
+    points_cube_t: jnp.ndarray,  # (3, N, S) sample points in [-1,1]
     z_vals_metric: jnp.ndarray,  # (N, S)
     depth_gt_metric: jnp.ndarray,  # (N, 1)
     valid: jnp.ndarray,  # (N,) ray validity mask
@@ -110,6 +120,6 @@ def occ_grid_cotangent(
     ``src/mapping/optimizer.py:897-907``)."""
     g_logits = occ_logits_grad(z_vals_metric, depth_gt_metric, eps, l_free, l_occ)
     g_logits = g_logits * valid[:, None].astype(g_logits.dtype)
-    _, vjp_fn = jax.vjp(lambda g: occ_grid_interpolate(g, points_cube), grid)
+    _, vjp_fn = jax.vjp(lambda g: occ_grid_interpolate_t(g, points_cube_t), grid)
     (g_grid,) = vjp_fn(g_logits)
     return g_grid

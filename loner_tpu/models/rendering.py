@@ -17,7 +17,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from loner_tpu.models.nerf import NeRFConfig, query_nerf
+from loner_tpu.models.nerf import NeRFConfig, query_nerf_t, query_sigma_t
 
 
 class RenderResult(NamedTuple):
@@ -27,12 +27,12 @@ class RenderResult(NamedTuple):
     opacity: jnp.ndarray  # (N,)
     variance: jnp.ndarray  # (N,)
     z_vals: jnp.ndarray  # (N, S)
-    points: jnp.ndarray  # (N, S, 3) cube coords
-    raw: jnp.ndarray  # (N, S, C+1) or (N, S, 1)
+    points: jnp.ndarray  # (3, N, S) cube coords, TRANSPOSED (lane layout)
+    raw: jnp.ndarray  # (C+1, N, S) or (1, N, S), TRANSPOSED
 
 
-def composite(
-    raw: jnp.ndarray,  # (N, S, C+1) or (N, S, 1) when sigma_only
+def composite_t(
+    raw_t: jnp.ndarray,  # (C+1, N, S) or (1, N, S) when sigma_only
     z_vals: jnp.ndarray,  # (N, S)
     rays_d: jnp.ndarray,  # (N, 3)
     far: Optional[jnp.ndarray] = None,  # (N,) -> depth includes far-plane mass
@@ -40,13 +40,14 @@ def composite(
     num_colors: int = 3,
     softplus: bool = False,
 ):
-    """Returns (rgb, depth, weights, opacity, variance)."""
+    """Returns (rgb, depth, weights, opacity, variance). ``raw_t`` keeps the
+    channel axis leading (TPU lane layout: the big N*S axes stay minor)."""
     if sigma_only:
-        sigmas = raw[..., 0]
+        sigmas = raw_t[0]
         rgbs = None
     else:
-        rgbs = raw[..., :num_colors]
-        sigmas = raw[..., num_colors]
+        rgbs = raw_t[:num_colors]  # (C, N, S)
+        sigmas = raw_t[num_colors]
 
     deltas = z_vals[:, 1:] - z_vals[:, :-1]
     delta_inf = jnp.full_like(deltas[:, :1], 1e10)
@@ -74,16 +75,31 @@ def composite(
         depth = jnp.sum(weights * z_vals, axis=-1)
 
     if sigma_only:
-        rgb = jnp.full((raw.shape[0], 1), -1.0, dtype=raw.dtype)
+        rgb = jnp.full((sigmas.shape[0], 1), -1.0, dtype=sigmas.dtype)
     else:
-        rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+        rgb = jnp.einsum("ns,cns->nc", weights, rgbs)
 
     variance = jnp.sum(weights * (depth[:, None] - z_vals) ** 2, axis=-1)
     return rgb, depth, weights, opacity, variance
 
 
+def composite(
+    raw: jnp.ndarray,  # (N, S, C+1) or (N, S, 1) when sigma_only
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    far: Optional[jnp.ndarray] = None,
+    sigma_only: bool = False,
+    num_colors: int = 3,
+    softplus: bool = False,
+):
+    """Channel-minor wrapper over ``composite_t``."""
+    return composite_t(
+        jnp.moveaxis(raw, -1, 0), z_vals, rays_d, far, sigma_only, num_colors, softplus
+    )
+
+
 def composite_peak_adjusted(
-    raw: jnp.ndarray,
+    raw_t: jnp.ndarray,  # (C+1, N, S)
     z_vals: jnp.ndarray,
     rays_d: jnp.ndarray,
     far: Optional[jnp.ndarray] = None,
@@ -97,8 +113,8 @@ def composite_peak_adjusted(
     probability crosses ``termination_threshold`` instead of the full
     expectation; falls back to expected depth for rays that never cross.
     """
-    rgb, exp_depth, weights, opacity, variance = composite(
-        raw, z_vals, rays_d, far, sigma_only, num_colors
+    rgb, exp_depth, weights, opacity, variance = composite_t(
+        raw_t, z_vals, rays_d, far, sigma_only, num_colors
     )
     cum_w = jnp.cumsum(weights, axis=-1)
     crossed = cum_w >= termination_threshold
@@ -109,21 +125,28 @@ def composite_peak_adjusted(
     return rgb, depth, weights, opacity, variance
 
 
-def _apply_point_chunks(fn, x, n_chunks: int):
-    """Evaluate ``fn`` over the leading axis in ``n_chunks`` sequential
-    chunks via lax.map — the TPU netchunk: XLA lane-pads the hash-gather
-    intermediates 16x (minor dims 8 and 2), so evaluating millions of points
-    in one shot blows HBM temps; sequential chunks bound them while keeping
-    one fused program per chunk."""
-    leaves = jax.tree.leaves(x)
-    n = leaves[0].shape[0]
+def _apply_point_chunks_t(fn, x_t, n_chunks: int):
+    """Evaluate ``fn`` over the MINOR (last) axis in ``n_chunks`` sequential
+    chunks via lax.map — the TPU netchunk: bounds the HBM temps of the
+    per-point pipeline. ``x_t`` leaves are (..., N); ``fn`` maps (..., c) ->
+    (..., c); result concatenated back to (..., N)."""
+    leaves = jax.tree.leaves(x_t)
+    n = leaves[0].shape[-1]
     if n_chunks <= 1 or n % n_chunks != 0:
-        return fn(x)
-    xs = jax.tree.map(lambda a: a.reshape(n_chunks, n // n_chunks, *a.shape[1:]), x)
+        return fn(x_t)
+    c = n // n_chunks
+
+    def split(a):
+        # (..., N) -> (n_chunks, ..., c): chunk axis leading for lax.map
+        a2 = a.reshape(*a.shape[:-1], n_chunks, c)
+        return jnp.moveaxis(a2, -2, 0)
+
+    xs = jax.tree.map(split, x_t)
     # checkpoint per chunk: without it the map's saved residuals stack the
     # padded gather intermediates back to full size, defeating the chunking
-    ys = jax.lax.map(jax.checkpoint(fn), xs)
-    return ys.reshape(n, *ys.shape[2:])
+    ys = jax.lax.map(jax.checkpoint(fn), xs)  # (n_chunks, ..., c)
+    ys = jnp.moveaxis(ys, 0, -2)  # (..., n_chunks, c)
+    return ys.reshape(*ys.shape[:-2], n)
 
 
 def render_rays(
@@ -143,35 +166,34 @@ def render_rays(
     outside makes this function a pure deterministic map).
     """
     n, s = z_vals.shape
-    pts = bundle.origins[:, None, :] + bundle.directions[:, None, :] * z_vals[..., None]
+    # transposed points (3, N, S): component axis leading, point axes minor
+    pts_t = bundle.origins.T[:, :, None] + bundle.directions.T[:, :, None] * z_vals[None]
 
-    flat_pts = pts.reshape(-1, 3)
+    flat_pts_t = pts_t.reshape(3, n * s)
     if sigma_only:
-        raw = _apply_point_chunks(
-            lambda p: query_nerf(params, p, None, cfg, sigma_only=True),
-            flat_pts,
-            point_chunks,
-        )
+        sig_flat = _apply_point_chunks_t(
+            lambda p: query_sigma_t(params, p, cfg), flat_pts_t, point_chunks
+        )  # (n*s,)
+        raw_t = sig_flat.reshape(1, n, s)
     else:
-        flat_dirs = jnp.repeat(bundle.viewdirs, s, axis=0)
-        raw = _apply_point_chunks(
-            lambda args: query_nerf(
+        flat_dirs_t = jnp.repeat(bundle.viewdirs.T[:, :, None], s, axis=2).reshape(3, n * s)
+        raw_t = _apply_point_chunks_t(
+            lambda args: query_nerf_t(
                 params, args[0], args[1], cfg, sigma_only=False, detach_sigma=detach_sigma
             ),
-            (flat_pts, flat_dirs),
+            (flat_pts_t, flat_dirs_t),
             point_chunks,
-        )
-    raw = raw.reshape(n, s, -1)
+        ).reshape(-1, n, s)  # (C+1, n, s)
 
     if render_strategy == "default":
-        rgb, depth, weights, opacity, variance = composite(
-            raw, z_vals, bundle.directions, far=bundle.far, sigma_only=sigma_only, num_colors=cfg.num_colors
+        rgb, depth, weights, opacity, variance = composite_t(
+            raw_t, z_vals, bundle.directions, far=bundle.far, sigma_only=sigma_only, num_colors=cfg.num_colors
         )
     elif render_strategy == "adjusted":
         rgb, depth, weights, opacity, variance = composite_peak_adjusted(
-            raw, z_vals, bundle.directions, far=bundle.far, sigma_only=sigma_only, num_colors=cfg.num_colors
+            raw_t, z_vals, bundle.directions, far=bundle.far, sigma_only=sigma_only, num_colors=cfg.num_colors
         )
     else:
         raise ValueError(f"Unknown render strategy: {render_strategy}")
 
-    return RenderResult(rgb, depth, weights, opacity, variance, z_vals, pts, raw)
+    return RenderResult(rgb, depth, weights, opacity, variance, z_vals, pts_t, raw_t)

@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from loner_tpu.models.occupancy_grid import occupancy_probs
+from loner_tpu.models.occupancy_grid import occupancy_probs_t
 
 
 def stratified_z_vals(
@@ -88,8 +88,9 @@ def occ_grid_sampler_z_vals(
     half = n_samples // 2
     z = stratified_z_vals(k_unif, bundle.near, bundle.far, half, perturb)
 
-    pts = bundle.origins[:, None, :] + bundle.directions[:, None, :] * z[..., None]
-    probs = jax.lax.stop_gradient(occupancy_probs(occ_grid, pts))  # (N, half)
+    # transposed points (3, N, half): component axis leading, batch minor
+    pts_t = bundle.origins.T[:, :, None] + bundle.directions.T[:, :, None] * z[None, :, :]
+    probs = jax.lax.stop_gradient(occupancy_probs_t(occ_grid, pts_t))  # (N, half)
 
     mids = 0.5 * (z[:, :-1] + z[:, 1:])  # (N, half-1)
     z_imp = sample_pdf(k_pdf, mids, probs[:, 1:-1], half, det=False)

@@ -44,3 +44,9 @@ def sh_encode(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
             -0.59004358992664352 * x * (xx - 3.0 * yy),
         ]
     return jnp.stack(out, axis=-1)
+
+
+def sh_encode_t(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """Transposed variant: (N, 3) unit dirs -> (degree**2, N) with the point
+    axis minor (no lane padding on TPU)."""
+    return jnp.moveaxis(sh_encode(dirs, degree), -1, 0)

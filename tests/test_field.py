@@ -47,7 +47,8 @@ class TestHashEncoding:
         res = 4
         cells = np.floor(np.array([0.5, 1.5, 2.5]) + 0.5).astype(int)  # [1, 2, 3]
         idx = cells[0] + cells[1] * res + cells[2] * res * res
-        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(table[0, idx]), atol=1e-5)
+        # table layout is (L, F, T)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(table[0, :, idx]), atol=1e-5)
 
     def test_trilinear_midpoint(self):
         cfg = HashEncodingConfig(
@@ -60,8 +61,8 @@ class TestHashEncoding:
         out = float(hash_encode(table, p, cfg)[0, 0])
         res = 4
         base = 1 * res + 1 * res * res  # y=1, z=1
-        v0 = float(table[0, base + 1, 0])  # x=1
-        v1 = float(table[0, base + 2, 0])  # x=2
+        v0 = float(table[0, 0, base + 1])  # x=1 (layout (L, F, T))
+        v1 = float(table[0, 0, base + 2])  # x=2
         assert abs(out - 0.5 * (v0 + v1)) < 1e-5
 
     def test_continuity(self):
@@ -147,7 +148,7 @@ class TestOccGrid:
 
     def test_cotangent_scatters_to_grid(self):
         grid = init_occ_grid(OccGridConfig(voxel_size=8))
-        pts = jnp.zeros((3, 5, 3))
+        pts = jnp.zeros((3, 3, 5))  # transposed (3, N, S)
         z = jnp.broadcast_to(jnp.linspace(1.0, 15.0, 5), (3, 5))
         d = jnp.full((3, 1), 10.0)
         valid = jnp.asarray([True, True, False])
