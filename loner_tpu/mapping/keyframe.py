@@ -33,6 +33,29 @@ class KeyFrame:
     gt_pose: Optional[np.ndarray] = None  # (4,4) groundtruth, if known
     sky: Optional[LidarScan] = None
     is_anchored: bool = False  # first KF anchors the world frame
+    # MASK ray-selection support (FDT trunk-band sampling,
+    # src/mapping/optimizer.py:367-379): indices of scan points whose WORLD
+    # z lies in the trunk band, cyclically padded to the scan budget so
+    # uniform sampling over this array IS band sampling.
+    band_indices: Optional[np.ndarray] = None
+
+    def compute_band_indices(self, z_range=(0.5, 8.0)):
+        """Fill ``band_indices`` using the best-known pose (gt or tracked)."""
+        pose = self.gt_pose if self.gt_pose is not None else self.tracked_pose
+        dirs = np.asarray(self.scan.ray_directions)
+        dist = np.asarray(self.scan.distances)
+        valid = np.asarray(self.scan.valid)
+        pts_world = (dirs * dist[:, None]) @ np.asarray(pose)[:3, :3].T + np.asarray(pose)[:3, 3]
+        band = valid & (pts_world[:, 2] > z_range[0]) & (pts_world[:, 2] < z_range[1])
+        idx = np.flatnonzero(band)
+        p = len(valid)
+        if len(idx) == 0:
+            idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            idx = np.zeros(1, np.int64)
+        reps = int(np.ceil(p / len(idx)))
+        self.band_indices = np.tile(idx, reps)[:p].astype(np.int32)
+        return self
 
     def pose_state(self, optimized_pose: np.ndarray) -> dict:
         """Serializable pose state, mirroring the reference's per-KF dict
@@ -54,6 +77,7 @@ class KeyFrameWindow(NamedTuple):
     sky_dirs: jnp.ndarray  # (W, S, 3)
     sky_valid: jnp.ndarray  # (W, S) bool
     pose_idx: jnp.ndarray  # (W,) int32 rows into the pose array
+    band_idx: jnp.ndarray  # (W, P) int32 trunk-band sampling indices
 
     @property
     def window_size(self) -> int:
@@ -81,6 +105,13 @@ def stack_window(keyframes: List[KeyFrame], n_sky_pad: int = 64) -> KeyFrameWind
             skys_v.append(np.zeros((n_sky_pad,), dtype=bool))
 
     pose_idx = np.asarray([kf.pose_index for kf in keyframes], dtype=np.int32)
+    p = dirs.shape[1]
+    bands = []
+    for kf in keyframes:
+        if kf.band_indices is not None:
+            bands.append(np.asarray(kf.band_indices, np.int32)[:p])
+        else:
+            bands.append(np.arange(p, dtype=np.int32))  # no band -> uniform
     return KeyFrameWindow(
         jnp.asarray(dirs),
         jnp.asarray(dists),
@@ -88,4 +119,5 @@ def stack_window(keyframes: List[KeyFrame], n_sky_pad: int = 64) -> KeyFrameWind
         jnp.asarray(np.stack(skys_d)),
         jnp.asarray(np.stack(skys_v)),
         jnp.asarray(pose_idx),
+        jnp.asarray(np.stack(bands)),
     )

@@ -58,6 +58,8 @@ class MapperConfig(NamedTuple):
     n_samples_test: int = 2048
     perturb: float = 1.0
     samples_strategy: str = "OGM"  # OGM | UNIFORM
+    rays_strategy: str = "RANDOM"  # RANDOM | MASK (75% trunk-band, FDT)
+    mask_band_fraction: float = 0.75
 
     lr_sigma: float = 0.01
     lr_rgb: float = 0.01
@@ -163,9 +165,14 @@ def build_window_rays(
 
     keys = jax.random.split(key, w)
 
-    def one_kf(pose6, dirs, dists, pvalid, sky_dirs, sky_valid, k):
+    def one_kf(pose6, dirs, dists, pvalid, sky_dirs, sky_valid, band, k):
         k1, k2 = jax.random.split(k)
         idx = jax.random.randint(k1, (cfg.rays_per_kf,), 0, p)
+        if cfg.rays_strategy == "MASK":
+            # 75% of rays drawn from the trunk band (uniform over the
+            # band-index array == band sampling), the rest uniform
+            n_band = int(cfg.rays_per_kf * cfg.mask_band_fraction)
+            idx = jnp.concatenate([band[idx[:n_band]], idx[n_band:]])
         T = se3.pose_to_matrix(pose6)
         lidar = build_lidar_rays(
             dirs[idx], dists[idx], T, cube, cfg.ray_range, point_valid=pvalid[idx]
@@ -189,6 +196,7 @@ def build_window_rays(
         window.point_valid,
         window.sky_dirs,
         window.sky_valid,
+        window.band_idx,
         keys,
     )
     # (W, R, ...) -> (W*R, ...)

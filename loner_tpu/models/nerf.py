@@ -38,8 +38,10 @@ class NeRFConfig(NamedTuple):
     intensity_hidden_layers: int = 4
     compute_dtype: str = "float32"
     # "packed" = bf16 pair-packed gathers + custom VJP (half the gather
-    # traffic; the TPU default). "exact" = plain f32 jnp path.
-    encoding_impl: str = "packed"
+    # traffic). "cell" = CellHash: one gather per (point, level) — the TPU
+    # default (XLA moves 4 KB per random index, so index count is the cost).
+    # "exact" = plain f32 jnp path.
+    encoding_impl: str = "cell"
 
     def sigma_mlp_config(self) -> MLPConfig:
         return MLPConfig(
@@ -63,15 +65,36 @@ class NeRFConfig(NamedTuple):
         )
 
 
+def cell_config_from(enc: HashEncodingConfig) -> "CellHashConfig":
+    """Capacity-comparable CellHash config: 2^log2 vertices x 2 features ->
+    2^(log2-2) cells x 16 features."""
+    from loner_tpu.ops.cell_hash import CellHashConfig
+
+    return CellHashConfig(
+        n_levels=enc.n_levels,
+        log2_cells=max(enc.log2_hashmap_size - 2, 8),
+        base_resolution=enc.base_resolution,
+        per_level_scale=enc.per_level_scale,
+    )
+
+
+def _init_table(key, enc: HashEncodingConfig, impl: str):
+    if impl == "cell":
+        from loner_tpu.ops.cell_hash import init_cell_table
+
+        return init_cell_table(key, cell_config_from(enc))
+    return init_hash_table(key, enc)
+
+
 def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "sigma": {
-            "table": init_hash_table(k1, cfg.pos_encoding_sigma),
+            "table": _init_table(k1, cfg.pos_encoding_sigma, cfg.encoding_impl),
             "mlp": init_mlp(k2, cfg.sigma_mlp_config()),
         },
         "intensity": {
-            "table": init_hash_table(k3, cfg.pos_encoding_intensity),
+            "table": _init_table(k3, cfg.pos_encoding_intensity, cfg.encoding_impl),
             "mlp": init_mlp(k4, cfg.intensity_mlp_config()),
         },
     }
@@ -84,6 +107,10 @@ def _sanitize_sigma(sigma: jnp.ndarray) -> jnp.ndarray:
 
 
 def _encode_t(table, pos_t, enc_cfg: HashEncodingConfig, impl: str) -> jnp.ndarray:
+    if impl == "cell":
+        from loner_tpu.ops.cell_hash import cell_hash_encode_t
+
+        return cell_hash_encode_t(table, pos_t, cell_config_from(enc_cfg), None)
     if impl == "packed":
         from loner_tpu.ops.hash_encode_fast import hash_encode_packed_t
 

@@ -125,7 +125,7 @@ def composite_peak_adjusted(
     return rgb, depth, weights, opacity, variance
 
 
-def _apply_point_chunks_t(fn, x_t, n_chunks: int):
+def _apply_point_chunks_t(fn, x_t, n_chunks: int, remat: bool = False):
     """Evaluate ``fn`` over the MINOR (last) axis in ``n_chunks`` sequential
     chunks via lax.map — the TPU netchunk: bounds the HBM temps of the
     per-point pipeline. ``x_t`` leaves are (..., N); ``fn`` maps (..., c) ->
@@ -142,9 +142,11 @@ def _apply_point_chunks_t(fn, x_t, n_chunks: int):
         return jnp.moveaxis(a2, -2, 0)
 
     xs = jax.tree.map(split, x_t)
-    # checkpoint per chunk: without it the map's saved residuals stack the
-    # padded gather intermediates back to full size, defeating the chunking
-    ys = jax.lax.map(jax.checkpoint(fn), xs)  # (n_chunks, ..., c)
+    # optional per-chunk remat: only useful for the exact (non-custom-VJP)
+    # encoder, where saved residuals would otherwise stack up; the packed
+    # encoder's custom VJP already bounds what is saved, and rematting it
+    # would re-run the gathers in backward.
+    ys = jax.lax.map(jax.checkpoint(fn) if remat else fn, xs)  # (n_chunks, ..., c)
     ys = jnp.moveaxis(ys, 0, -2)  # (..., n_chunks, c)
     return ys.reshape(*ys.shape[:-2], n)
 
@@ -157,7 +159,8 @@ def render_rays(
     sigma_only: bool = False,
     detach_sigma: bool = True,
     render_strategy: str = "default",
-    point_chunks: int = 8,
+    point_chunks: int = 4,
+    remat_chunks: bool = False,
 ) -> RenderResult:
     """Evaluate the field at o + d*z and composite.
 
@@ -172,7 +175,7 @@ def render_rays(
     flat_pts_t = pts_t.reshape(3, n * s)
     if sigma_only:
         sig_flat = _apply_point_chunks_t(
-            lambda p: query_sigma_t(params, p, cfg), flat_pts_t, point_chunks
+            lambda p: query_sigma_t(params, p, cfg), flat_pts_t, point_chunks, remat_chunks
         )  # (n*s,)
         raw_t = sig_flat.reshape(1, n, s)
     else:
@@ -183,6 +186,7 @@ def render_rays(
             ),
             (flat_pts_t, flat_dirs_t),
             point_chunks,
+            remat_chunks,
         ).reshape(-1, n, s)  # (C+1, n, s)
 
     if render_strategy == "default":

@@ -65,24 +65,28 @@ class TestPackedBackward:
         np.testing.assert_allclose(g_fast / denom, g_ref / denom, atol=5e-2)
 
 
-class TestStochastic:
-    def test_unbiased_estimator(self, setup):
+class TestStochasticBackward:
+    def test_forward_unchanged_by_bwd_key(self, setup):
         cfg, table, pts_t = setup
-        ref = np.asarray(hash_encode_t(table, pts_t, cfg))
-        acc = np.zeros_like(ref)
-        k = 256
-        for i in range(k):
-            out = hash_encode_packed_t(table, pts_t, cfg, jax.random.PRNGKey(i))
-            acc += np.asarray(out)
-        mean = acc / k
-        # matches in expectation (standard error ~ sigma/sqrt(k))
-        err = np.abs(mean - ref)
-        assert np.median(err) < 0.05, float(np.median(err))
+        a = hash_encode_packed_t(table, pts_t, cfg, None)
+        b = hash_encode_packed_t(table, pts_t, cfg, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
-    def test_table_grad_shape_and_scatter(self, setup):
+    def test_table_grad_unbiased(self, setup):
         cfg, table, pts_t = setup
-        g = jax.grad(
-            lambda t: jnp.sum(hash_encode_packed_t(t, pts_t, cfg, jax.random.PRNGKey(0)))
-        )(table)
-        assert g.shape == table.shape
-        assert float(jnp.sum(jnp.abs(g))) > 0
+
+        def loss(t, key):
+            return jnp.sum(hash_encode_packed_t(t, pts_t, cfg, key) ** 2)
+
+        g_exact = np.asarray(jax.grad(lambda t: loss(t, None))(table))
+        acc = np.zeros_like(g_exact)
+        k = 64
+        gf = jax.jit(jax.grad(loss))
+        for i in range(k):
+            acc += np.asarray(gf(table, jax.random.PRNGKey(i)))
+        mean = acc / k
+        denom = np.abs(g_exact).max() + 1e-9
+        # expectation matches the exact scatter (normalized comparison)
+        mask = np.abs(g_exact) > denom * 0.05
+        rel_err = np.abs(mean[mask] - g_exact[mask]) / denom
+        assert np.median(rel_err) < 0.15, float(np.median(rel_err))
