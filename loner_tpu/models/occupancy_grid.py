@@ -39,6 +39,10 @@ def occ_grid_interpolate_t(grid: jnp.ndarray, pts_t: jnp.ndarray) -> jnp.ndarray
     out-of-range corners contribute zero (zero padding).
     """
     v = grid.shape[0]
+    # Flat linear-index gathers: one 1-D gather per corner instead of a
+    # 3-component multi-dim gather (XLA TPU lowers the latter ~20x slower;
+    # measured 99 ms -> ~5 ms at 1.2M points on v5e).
+    gflat = grid.reshape(-1)
     pix = ((pts_t + 1.0) * v - 1.0) / 2.0  # (3, ...)
     lo = jnp.floor(pix)
     frac = pix - lo
@@ -51,10 +55,12 @@ def occ_grid_interpolate_t(grid: jnp.ndarray, pts_t: jnp.ndarray) -> jnp.ndarray
         inb = (
             (cx >= 0) & (cx < v) & (cy >= 0) & (cy < v) & (cz >= 0) & (cz < v)
         )
-        cxc = jnp.clip(cx, 0, v - 1)
-        cyc = jnp.clip(cy, 0, v - 1)
-        czc = jnp.clip(cz, 0, v - 1)
-        val = grid[czc, cyc, cxc]
+        lin = (
+            jnp.clip(cz, 0, v - 1) * (v * v)
+            + jnp.clip(cy, 0, v - 1) * v
+            + jnp.clip(cx, 0, v - 1)
+        )
+        val = gflat[lin]
         wx = jnp.where(dx == 1, frac[0], 1.0 - frac[0])
         wy = jnp.where(dy == 1, frac[1], 1.0 - frac[1])
         wz = jnp.where(dz == 1, frac[2], 1.0 - frac[2])

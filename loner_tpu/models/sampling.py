@@ -56,7 +56,11 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
-    inds = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u)  # (N, K)
+    # searchsorted(side="right") as a vectorized count: #{j: cdf[j] <= u}.
+    # The broadcast-compare-reduce fuses into one VPU loop on TPU (measured
+    # 2.7 ms vs 111 ms for vmapped binary search / 20 ms for method="sort"
+    # at the flagship batch 4608x257x256).
+    inds = jnp.sum((cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1)  # (N, K)
     below = jnp.clip(inds - 1, 0, None)
     above = jnp.clip(inds, None, m)
 
