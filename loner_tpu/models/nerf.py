@@ -42,6 +42,10 @@ class NeRFConfig(NamedTuple):
     # default (XLA moves 4 KB per random index, so index count is the cost).
     # "exact" = plain f32 jnp path.
     encoding_impl: str = "cell"
+    # cell-impl backward: "level1" scatters each point's table grad to one
+    # jitter-chosen level via a single combined scatter (16x fewer scattered
+    # rows — the dominant step cost); "exact" scatters every level.
+    encoding_bwd: str = "level1"
 
     def sigma_mlp_config(self) -> MLPConfig:
         return MLPConfig(
@@ -65,7 +69,7 @@ class NeRFConfig(NamedTuple):
         )
 
 
-def cell_config_from(enc: HashEncodingConfig) -> "CellHashConfig":
+def cell_config_from(enc: HashEncodingConfig, bwd: str = "exact") -> "CellHashConfig":
     """Capacity-comparable CellHash config: 2^log2 vertices x 2 features ->
     2^(log2-2) cells x 16 features."""
     from loner_tpu.ops.cell_hash import CellHashConfig
@@ -75,6 +79,7 @@ def cell_config_from(enc: HashEncodingConfig) -> "CellHashConfig":
         log2_cells=max(enc.log2_hashmap_size - 2, 8),
         base_resolution=enc.base_resolution,
         per_level_scale=enc.per_level_scale,
+        bwd=bwd,
     )
 
 
@@ -106,11 +111,13 @@ def _sanitize_sigma(sigma: jnp.ndarray) -> jnp.ndarray:
     return jnp.nan_to_num(sigma, nan=0.0, posinf=big, neginf=-big)
 
 
-def _encode_t(table, pos_t, enc_cfg: HashEncodingConfig, impl: str) -> jnp.ndarray:
+def _encode_t(
+    table, pos_t, enc_cfg: HashEncodingConfig, impl: str, bwd: str = "level1"
+) -> jnp.ndarray:
     if impl == "cell":
         from loner_tpu.ops.cell_hash import cell_hash_encode_t
 
-        return cell_hash_encode_t(table, pos_t, cell_config_from(enc_cfg), None)
+        return cell_hash_encode_t(table, pos_t, cell_config_from(enc_cfg, bwd), None)
     if impl == "packed":
         from loner_tpu.ops.hash_encode_fast import hash_encode_packed_t
 
@@ -121,7 +128,9 @@ def _encode_t(table, pos_t, enc_cfg: HashEncodingConfig, impl: str) -> jnp.ndarr
 def query_sigma_t(params: dict, pts_cube_t: jnp.ndarray, cfg: NeRFConfig) -> jnp.ndarray:
     """pts_cube_t: (3, N) in [-1,1], point axis minor -> sigma logits (N,)."""
     pos = (pts_cube_t + 1.0) / 2.0
-    h = _encode_t(params["sigma"]["table"], pos, cfg.pos_encoding_sigma, cfg.encoding_impl)
+    h = _encode_t(
+        params["sigma"]["table"], pos, cfg.pos_encoding_sigma, cfg.encoding_impl, cfg.encoding_bwd
+    )
     sigma = mlp_apply_t(params["sigma"]["mlp"], h, cfg.sigma_mlp_config())  # (1, N)
     return _sanitize_sigma(sigma[0])
 
@@ -151,7 +160,13 @@ def query_nerf_t(
         return sigma[None, :]
 
     pos = (pts_cube_t + 1.0) / 2.0
-    h_x = _encode_t(params["intensity"]["table"], pos, cfg.pos_encoding_intensity, cfg.encoding_impl)
+    h_x = _encode_t(
+        params["intensity"]["table"],
+        pos,
+        cfg.pos_encoding_intensity,
+        cfg.encoding_impl,
+        cfg.encoding_bwd,
+    )
     if cfg.enable_view_dependence:
         h_d = sh_encode_t(viewdirs_t.T, cfg.sh_degree)
         h_x = jnp.concatenate([h_x, h_d], axis=0)

@@ -40,6 +40,14 @@ class CellHashConfig(NamedTuple):
     log2_cells: int = 16  # cells per level; 8 corner-pairs per cell
     base_resolution: int = 16
     per_level_scale: float = 2.0
+    # Backward d_table strategy. "exact": one N-row scatter-add PER LEVEL
+    # (16 scatters). "level1": each point scatters to ONE level, chosen by
+    # hashing the jitter bits of its coordinates, via a single combined
+    # (L*T)-row scatter scaled by L — unbiased across the stratified-jitter
+    # distribution and 16x fewer scattered rows (the measured per-index
+    # scatter cost dominates the whole train step on TPU: 41 ms per 2.36M
+    # rows x 16 levels ~= 2/3 of a 967 ms step).
+    bwd: str = "exact"
 
     @property
     def table_size(self) -> int:
@@ -144,6 +152,29 @@ def _cell_fwd(table, pts_t, bwd_key, cfg: CellHashConfig, bwd_corner_sample: boo
     return out, (jnp.stack(idxs), jnp.stack(v_ts), pts_t, bwd_key)
 
 
+def _corner_sample_w(w: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Replace trilinear weights (8, N) with a one-hot corner sampled ∝ w."""
+    cdf = jnp.cumsum(w, axis=0)
+    choice = jnp.clip(jnp.sum((u[None, :] > cdf).astype(jnp.int32), axis=0), 0, 7)
+    return jax.nn.one_hot(choice, 8, axis=0)
+
+
+def _jitter_level_choice(pts_t: jnp.ndarray, n_levels: int) -> jnp.ndarray:
+    """Per-point level choice from the low mantissa bits of the coordinates.
+
+    The training sampler jitters every z-value (stratified sampling), so the
+    mantissa LSBs are fresh uniform noise each step; a multiplicative hash of
+    them is an effectively independent uniform level draw with no PRNG-key
+    plumbing through the VJP."""
+    b = jax.lax.bitcast_convert_type(pts_t, jnp.uint32)  # (3, N)
+    h = (
+        b[0] * jnp.uint32(2654435761)
+        ^ b[1] * jnp.uint32(805459861)
+        ^ b[2] * jnp.uint32(3674653429)
+    )
+    return (h % jnp.uint32(n_levels)).astype(jnp.int32)
+
+
 def _cell_bwd(cfg: CellHashConfig, bwd_corner_sample: bool, res, g):
     idx, v_t, pts_t, bwd_key = res  # idx (L, N); v_t (L, 8, N) packed
     l, n = idx.shape
@@ -158,7 +189,35 @@ def _cell_bwd(cfg: CellHashConfig, bwd_corner_sample: bool, res, g):
         key = jax.random.wrap_key_data(bwd_key)
         u_all = jax.random.uniform(key, (l, n))
 
-    d_table = jnp.zeros((l, cfg.table_size, 16), jnp.float32)
+    level_sample = cfg.bwd == "level1"
+    if level_sample:
+        # ---- d/dtable, ONE combined scatter: each point updates a single
+        # jitter-chosen level, scaled by L (scatter rows are the dominant
+        # TPU cost; see CellHashConfig.bwd) ------------------------------
+        lvl_choice = _jitter_level_choice(pts_t, l)  # (N,)
+        onehot = (
+            lvl_choice[None, :] == jnp.arange(l, dtype=jnp.int32)[:, None]
+        )  # (L, N) bool
+        onef = onehot.astype(jnp.float32)
+        g_sel = jnp.sum(g * onef[:, None, :], axis=0)  # (2, N)
+        scale_sel = jnp.sum(jnp.asarray(scales, jnp.float32)[:, None] * onef, axis=0)
+        scaled = pts_t * scale_sel[None, :] + 0.5
+        frac_sel = scaled - jnp.floor(scaled)  # (3, N)
+        w_sel = _trilinear_w(frac_sel)  # (8, N)
+        if bwd_corner_sample:
+            w_sel = _corner_sample_w(w_sel, u_all[0])
+        idx_sel = jnp.sum(idx * onehot.astype(jnp.int32), axis=0)  # (N,)
+        combined = lvl_choice * jnp.int32(cfg.table_size) + idx_sel
+        upd = jnp.einsum("cn,fn->ncf", w_sel, g_sel).reshape(n, 16) * jnp.float32(l)
+        d_table = (
+            jnp.zeros((l * cfg.table_size, 16), jnp.float32)
+            .at[combined]
+            .add(upd)
+            .reshape(l, cfg.table_size, 16)
+        )
+    else:
+        d_table = jnp.zeros((l, cfg.table_size, 16), jnp.float32)
+
     d_pts = jnp.zeros_like(pts_t)
 
     for lvl in range(cfg.n_levels):
@@ -166,20 +225,14 @@ def _cell_bwd(cfg: CellHashConfig, bwd_corner_sample: bool, res, g):
         _, frac = _cell_and_frac(pts_t, scale, int(resolutions[lvl]))
         w = _trilinear_w(frac)  # (8, N)
 
-        # ---- d/dtable: one 16-wide row per point --------------------------
-        if bwd_corner_sample:
-            cdf = jnp.cumsum(w, axis=0)
-            choice = jnp.clip(
-                jnp.sum((u_all[lvl][None, :] > cdf).astype(jnp.int32), axis=0), 0, 7
-            )  # (N,)
-            eff_w = jax.nn.one_hot(choice, 8, axis=0)  # (8, N)
-        else:
-            eff_w = w
-        # upd[n, c*2+f] = eff_w[c, n] * g[f, n]
-        upd = jnp.einsum("cn,fn->ncf", eff_w, g[lvl]).reshape(n, 16)
-        d_table = d_table.at[lvl].add(
-            jnp.zeros((cfg.table_size, 16), jnp.float32).at[idx[lvl]].add(upd)
-        )
+        if not level_sample:
+            # ---- d/dtable: one 16-wide row per point per level ------------
+            eff_w = _corner_sample_w(w, u_all[lvl]) if bwd_corner_sample else w
+            # upd[n, c*2+f] = eff_w[c, n] * g[f, n]
+            upd = jnp.einsum("cn,fn->ncf", eff_w, g[lvl]).reshape(n, 16)
+            d_table = d_table.at[lvl].add(
+                jnp.zeros((cfg.table_size, 16), jnp.float32).at[idx[lvl]].add(upd)
+            )
 
         # ---- d/dpts -------------------------------------------------------
         pair = jax.lax.bitcast_convert_type(v_t[lvl], jnp.bfloat16)  # (8, N, 2)

@@ -168,3 +168,45 @@ class TestConvergenceParity:
         l1_after = eval_l1_depth(cfg, cube, state, scene, poses[0])
         assert l1_after < l1_before * 0.5
         assert l1_after < 3.5, f"CellHash L1 {l1_after:.2f} m"
+
+
+class TestLevelSampledBackward:
+    def test_level1_table_grad_unbiased(self):
+        """Averaged over jitter, the level1 d_table matches the exact one."""
+        cfg_exact = CellHashConfig(n_levels=4, log2_cells=10, base_resolution=4)
+        cfg_l1 = cfg_exact._replace(bwd="level1")
+        key = jax.random.PRNGKey(0)
+        table = init_cell_table(key, cfg_exact)
+
+        def g_of(cfg, pts):
+            return jax.grad(lambda t: jnp.sum(cell_hash_encode_t(t, pts, cfg) * w_out))(table)
+
+        k1, k2 = jax.random.split(key)
+        w_out = jax.random.normal(k1, (cfg_exact.output_dim, 1))
+        base = jax.random.uniform(k2, (3, 512), minval=0.05, maxval=0.95)
+
+        acc_exact = np.zeros(table.shape, np.float64)
+        acc_l1 = np.zeros(table.shape, np.float64)
+        trials = 64
+        for i in range(trials):
+            jitter = jax.random.uniform(jax.random.PRNGKey(100 + i), base.shape) * 1e-3
+            pts = base + jitter
+            acc_exact += np.asarray(g_of(cfg_exact, pts), np.float64)
+            acc_l1 += np.asarray(g_of(cfg_l1, pts), np.float64)
+        acc_exact /= trials
+        acc_l1 /= trials
+        denom = np.abs(acc_exact).mean()
+        assert np.abs(acc_l1 - acc_exact).mean() / denom < 0.35
+
+    def test_level1_point_grad_identical(self):
+        """d_pts is exact in both modes."""
+        cfg_exact = CellHashConfig(n_levels=4, log2_cells=10, base_resolution=4)
+        cfg_l1 = cfg_exact._replace(bwd="level1")
+        key = jax.random.PRNGKey(1)
+        table = init_cell_table(key, cfg_exact)
+        pts = jax.random.uniform(jax.random.PRNGKey(2), (3, 64), minval=0.1, maxval=0.9)
+
+        def gp(cfg):
+            return jax.grad(lambda p: jnp.sum(jnp.sin(cell_hash_encode_t(table, p, cfg))))(pts)
+
+        np.testing.assert_allclose(np.asarray(gp(cfg_l1)), np.asarray(gp(cfg_exact)), rtol=1e-6)
