@@ -24,12 +24,13 @@ import numpy as np
 import yaml
 
 
-def run_trial(settings, dataset, out_dir: str, use_gt: bool):
+def run_trial(settings, dataset, out_dir: str, use_gt: bool, profile: bool = False):
     import numpy as np
 
     from loner_tpu.config.build import build_slam_config
     from loner_tpu.data.scan import sky_scan
     from loner_tpu.geometry.world_cube import compute_world_cube
+    from loner_tpu.runtime.profiling import maybe_trace
     from loner_tpu.slam import LonerSLAM
 
     t_start = time.time()
@@ -55,15 +56,16 @@ def run_trial(settings, dataset, out_dir: str, use_gt: bool):
 
     gt0_inv = None
     n = 0
-    for scan, ts in dataset:
-        gt = dataset.gt_pose_at(ts)
-        if gt is not None:
-            if gt0_inv is None:
-                gt0_inv = np.linalg.inv(gt)
-            gt = gt0_inv @ gt  # tracker frame is anchored at the first scan
-        slam.process_scan(scan, ts, gt_pose=gt)
-        n += 1
-    slam.stop(out_dir)
+    with maybe_trace(out_dir, enabled=profile):
+        for scan, ts in dataset:
+            gt = dataset.gt_pose_at(ts)
+            if gt is not None:
+                if gt0_inv is None:
+                    gt0_inv = np.linalg.inv(gt)
+                gt = gt0_inv @ gt  # tracker frame is anchored at the first scan
+            slam.process_scan(scan, ts, gt_pose=gt)
+            n += 1
+        slam.stop(out_dir)
 
     wall = time.time() - t_start
     with open(os.path.join(out_dir, "runtime.txt"), "w") as f:
@@ -95,6 +97,10 @@ def main():
     ap.add_argument("--overrides", help="ablation overrides yaml (dotted path -> list)")
     ap.add_argument("--run-all-combos", action="store_true")
     ap.add_argument("--num-repeats", type=int, default=1)
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="write a jax.profiler trace under <out>/profile (reference loner.py:175-186)",
+    )
     args = ap.parse_args()
 
     from loner_tpu.config.settings import generate_options, load_settings
@@ -130,7 +136,7 @@ def main():
             if args.num_repeats > 1:
                 out = os.path.join(out, f"trial_{trial}")
             print(f"[run_slam] config {ci} ({desc}) trial {trial} -> {out}")
-            run_trial(cfg_i, dataset, out, args.gt_poses)
+            run_trial(cfg_i, dataset, out, args.gt_poses, profile=args.profile)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from loner_tpu.mapping.optimizer import (
     init_mapper_state,
     make_train_step,
 )
+from loner_tpu.runtime.profiling import WindowTimer
 
 
 @dataclass
@@ -87,8 +88,12 @@ class OnlineMapper:
         self.kf_manager = KeyFrameManager(cfg.keyframe_manager, seed=cfg.seed)
         self._train_step = make_train_step(cfg.mapper, cube)
         self._key = jax.random.PRNGKey(cfg.seed + 1)
+        # host-side mirror of state.global_step: reading the device scalar
+        # every iteration would add a device->host round-trip per step
+        self._host_step = 0
         self.map_times: List[float] = []
         self.its_per_sec_log: List[float] = []
+        self.window_timer = WindowTimer()  # per-window timing.csv rows
         # callbacks: called with (timestamp, tracked_pose, optimized_pose)
         self.keyframe_update_callbacks: List[Callable] = []
 
@@ -156,6 +161,7 @@ class OnlineMapper:
 
         n_iters = 0
         t_opt = time.time()
+        self.window_timer.start()
         for phase in self._phases_for_kf(len(self.kf_manager)):
             flags = TrainStepFlags(
                 freeze_sigma=jnp.asarray(phase.freeze_sigma_mlp),
@@ -167,15 +173,17 @@ class OnlineMapper:
             for it in range(phase.num_iterations):
                 self._key, sub = jax.random.split(self._key)
                 occ = jnp.asarray(
-                    (int(self.state.global_step) % self.cfg.mapper.occ.n_iters_acc)
+                    (self._host_step % self.cfg.mapper.occ.n_iters_acc)
                     == self.cfg.mapper.occ.n_iters_acc - 1
                 )
+                self._host_step += 1
                 self.state, aux = self._train_step(
                     self.state, window, sub, flags._replace(do_occ_update=occ),
                     pose_mask, jnp.asarray(it),
                 )
                 n_iters += 1
         jax.block_until_ready(self.state.params)
+        self.window_timer.stop(n_iters)
         dt_opt = time.time() - t_opt
         if dt_opt > 0:
             self.its_per_sec_log.append(n_iters / dt_opt)

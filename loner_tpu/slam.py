@@ -133,3 +133,6 @@ class LonerSLAM:
                 np.asarray(self.mapper.map_times),
                 delimiter=",",
             )
+            # per-window iteration timing + its/s (reference timing.csv,
+            # src/mapping/optimizer.py:183-188)
+            self.mapper.window_timer.write_csv(os.path.join(out_dir, "timing.csv"))
