@@ -216,6 +216,12 @@ def make_train_step(cfg: MapperConfig, cube):
     """Build the jitted train step. ``cube`` is the WorldCube (static)."""
     tx_sigma, tx_intensity, tx_poses, tx_occ = make_optimizers(cfg)
     scale = cfg.world_scale
+    # keep the fused encoder's slot-strided backward in sync with the actual
+    # samples-per-ray (points arrive flattened (rays, S) -> slot = n % S)
+    if cfg.nerf.encoding_slot_period != cfg.n_samples_train:
+        cfg = cfg._replace(
+            nerf=cfg.nerf._replace(encoding_slot_period=cfg.n_samples_train)
+        )
 
     def _forward(params, poses, occ_grid, window, key, iteration, global_step):
         k_rays, k_samp = jax.random.split(key)

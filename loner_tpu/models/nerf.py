@@ -36,16 +36,20 @@ class NeRFConfig(NamedTuple):
     sigma_hidden_layers: int = 1
     intensity_hidden_dim: int = 64
     intensity_hidden_layers: int = 4
-    compute_dtype: str = "float32"
-    # "packed" = bf16 pair-packed gathers + custom VJP (half the gather
-    # traffic). "cell" = CellHash: one gather per (point, level) — the TPU
-    # default (XLA moves 4 KB per random index, so index count is the cost).
-    # "exact" = plain f32 jnp path.
-    encoding_impl: str = "cell"
-    # cell-impl backward: "level1" scatters each point's table grad to one
-    # jitter-chosen level via a single combined scatter (16x fewer scattered
-    # rows — the dominant step cost); "exact" scatters every level.
-    encoding_bwd: str = "level1"
+    compute_dtype: str = "bfloat16"
+    # "fused" = FusedHash (ops/fused_encoder.py): per-level 2 MB bf16
+    # gathers + one Pallas kernel for all interp math each way — the TPU
+    # default. "cell" = round-1 CellHash (jnp). "packed" = bf16 pair-packed
+    # gathers + custom VJP. "exact" = plain f32 jnp path.
+    encoding_impl: str = "fused"
+    # table-gradient strategy: "strided" = slot-strided level1 with
+    # keep-stride (fused impl; compacted per-level scatters — the measured
+    # scatter cost is ~15 ns per PROCESSED row, so rows must be few AND
+    # contiguous); "level1" = jitter-hash level choice (cell impl);
+    # "exact" = every (point, level) scatters.
+    encoding_bwd: str = "strided"
+    encoding_bwd_stride: int = 2  # fused/strided: keep every k-th slot group
+    encoding_slot_period: int = 512  # fused/strided: samples per ray (S)
 
     def sigma_mlp_config(self) -> MLPConfig:
         return MLPConfig(
@@ -83,7 +87,27 @@ def cell_config_from(enc: HashEncodingConfig, bwd: str = "exact") -> "CellHashCo
     )
 
 
-def _init_table(key, enc: HashEncodingConfig, impl: str):
+def fused_config_from(cfg: "NeRFConfig", enc: HashEncodingConfig) -> "FusedHashConfig":
+    """Capacity-comparable FusedHash config: 2^log2 vertices x 2 features ->
+    2^(log2-2) cells x 16 features (one row per cell)."""
+    from loner_tpu.ops.fused_encoder import FusedHashConfig
+
+    return FusedHashConfig(
+        n_levels=enc.n_levels,
+        log2_cells=max(enc.log2_hashmap_size - 2, 8),
+        base_resolution=enc.base_resolution,
+        per_level_scale=enc.per_level_scale,
+        bwd="strided" if cfg.encoding_bwd == "strided" else "exact",
+        bwd_stride=cfg.encoding_bwd_stride,
+        slot_period=cfg.encoding_slot_period,
+    )
+
+
+def _init_table(key, cfg: "NeRFConfig", enc: HashEncodingConfig, impl: str):
+    if impl == "fused":
+        from loner_tpu.ops.fused_encoder import init_fused_table
+
+        return init_fused_table(key, fused_config_from(cfg, enc))
     if impl == "cell":
         from loner_tpu.ops.cell_hash import init_cell_table
 
@@ -95,11 +119,11 @@ def init_nerf(key: jax.Array, cfg: NeRFConfig) -> dict:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
         "sigma": {
-            "table": _init_table(k1, cfg.pos_encoding_sigma, cfg.encoding_impl),
+            "table": _init_table(k1, cfg, cfg.pos_encoding_sigma, cfg.encoding_impl),
             "mlp": init_mlp(k2, cfg.sigma_mlp_config()),
         },
         "intensity": {
-            "table": _init_table(k3, cfg.pos_encoding_intensity, cfg.encoding_impl),
+            "table": _init_table(k3, cfg, cfg.pos_encoding_intensity, cfg.encoding_impl),
             "mlp": init_mlp(k4, cfg.intensity_mlp_config()),
         },
     }
@@ -112,11 +136,17 @@ def _sanitize_sigma(sigma: jnp.ndarray) -> jnp.ndarray:
 
 
 def _encode_t(
-    table, pos_t, enc_cfg: HashEncodingConfig, impl: str, bwd: str = "level1"
+    cfg: "NeRFConfig", table, pos_t, enc_cfg: HashEncodingConfig
 ) -> jnp.ndarray:
+    impl = cfg.encoding_impl
+    if impl == "fused":
+        from loner_tpu.ops.fused_encoder import fused_hash_encode_t
+
+        return fused_hash_encode_t(table, pos_t, fused_config_from(cfg, enc_cfg), None)
     if impl == "cell":
         from loner_tpu.ops.cell_hash import cell_hash_encode_t
 
+        bwd = "level1" if cfg.encoding_bwd in ("level1", "strided") else "exact"
         return cell_hash_encode_t(table, pos_t, cell_config_from(enc_cfg, bwd), None)
     if impl == "packed":
         from loner_tpu.ops.hash_encode_fast import hash_encode_packed_t
@@ -128,9 +158,7 @@ def _encode_t(
 def query_sigma_t(params: dict, pts_cube_t: jnp.ndarray, cfg: NeRFConfig) -> jnp.ndarray:
     """pts_cube_t: (3, N) in [-1,1], point axis minor -> sigma logits (N,)."""
     pos = (pts_cube_t + 1.0) / 2.0
-    h = _encode_t(
-        params["sigma"]["table"], pos, cfg.pos_encoding_sigma, cfg.encoding_impl, cfg.encoding_bwd
-    )
+    h = _encode_t(cfg, params["sigma"]["table"], pos, cfg.pos_encoding_sigma)
     sigma = mlp_apply_t(params["sigma"]["mlp"], h, cfg.sigma_mlp_config())  # (1, N)
     return _sanitize_sigma(sigma[0])
 
@@ -160,13 +188,7 @@ def query_nerf_t(
         return sigma[None, :]
 
     pos = (pts_cube_t + 1.0) / 2.0
-    h_x = _encode_t(
-        params["intensity"]["table"],
-        pos,
-        cfg.pos_encoding_intensity,
-        cfg.encoding_impl,
-        cfg.encoding_bwd,
-    )
+    h_x = _encode_t(cfg, params["intensity"]["table"], pos, cfg.pos_encoding_intensity)
     if cfg.enable_view_dependence:
         h_d = sh_encode_t(viewdirs_t.T, cfg.sh_degree)
         h_x = jnp.concatenate([h_x, h_d], axis=0)

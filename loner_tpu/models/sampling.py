@@ -36,6 +36,30 @@ def stratified_z_vals(
     return z
 
 
+def _count_le(cdf: jnp.ndarray, u: jnp.ndarray, method: str) -> jnp.ndarray:
+    """inds[i, k] = #{j: cdf[i, j] <= u[i, k]} = searchsorted(side="right").
+
+    ``count``: broadcast compare-reduce — simple, but chained-measured at
+    52 ms/step on v5e at the flagship shape (N=4608, M=255, K=256).
+    ``bisect``: branchless binary search, log2(M) take_along_axis lane
+    gathers — the TPU path.
+    """
+    if method == "count":
+        return jnp.sum((cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1)
+    m1 = cdf.shape[-1]
+    p = 1 << max(m1 - 1, 1).bit_length()  # pow2 >= m1
+    big = jnp.asarray(jnp.finfo(cdf.dtype).max, cdf.dtype)
+    cdfp = jnp.pad(cdf, ((0, 0), (0, p - m1)), constant_values=big)
+    inds = jnp.zeros(u.shape, jnp.int32)
+    step = p >> 1
+    while step:
+        cand = inds + step
+        c = jnp.take_along_axis(cdfp, cand - 1, axis=-1)
+        inds = jnp.where(c <= u, cand, inds)
+        step >>= 1
+    return inds
+
+
 def sample_pdf(
     key: jax.Array,
     bins: jnp.ndarray,  # (N, M+1) bin edges (midpoints of coarse z)
@@ -43,6 +67,7 @@ def sample_pdf(
     n_importance: int,
     det: bool = False,
     eps: float = 1e-5,
+    method: str = "count",
 ) -> jnp.ndarray:
     """Inverse-CDF sampling from a piecewise-constant pdf. (N, K)."""
     n_rays, m = weights.shape
@@ -56,11 +81,7 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
-    # searchsorted(side="right") as a vectorized count: #{j: cdf[j] <= u}.
-    # The broadcast-compare-reduce fuses into one VPU loop on TPU (measured
-    # 2.7 ms vs 111 ms for vmapped binary search / 20 ms for method="sort"
-    # at the flagship batch 4608x257x256).
-    inds = jnp.sum((cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1)  # (N, K)
+    inds = _count_le(cdf, u, method)  # (N, K)
     below = jnp.clip(inds - 1, 0, None)
     above = jnp.clip(inds, None, m)
 
@@ -96,8 +117,15 @@ def occ_grid_sampler_z_vals(
     pts_t = bundle.origins.T[:, :, None] + bundle.directions.T[:, :, None] * z[None, :, :]
     probs = jax.lax.stop_gradient(occupancy_probs_t(occ_grid, pts_t))  # (N, half)
 
-    mids = 0.5 * (z[:, :-1] + z[:, 1:])  # (N, half-1)
-    z_imp = sample_pdf(k_pdf, mids, probs[:, 1:-1], half, det=False)
+    # z_imp is non-differentiable (the reference detaches importance samples
+    # too): stop the INPUT gradients so no JVP has to traverse the sampler
+    mids = jax.lax.stop_gradient(0.5 * (z[:, :-1] + z[:, 1:]))  # (N, half-1)
+    if jax.default_backend() == "tpu":
+        from loner_tpu.ops.pdf_kernel import sample_pdf_pallas
+
+        z_imp = sample_pdf_pallas(k_pdf, mids, probs[:, 1:-1], half, det=False)
+    else:
+        z_imp = sample_pdf(k_pdf, mids, probs[:, 1:-1], half, det=False)
     z_imp = jax.lax.stop_gradient(z_imp)
 
     return jnp.sort(jnp.concatenate([z, z_imp], axis=-1), axis=-1)

@@ -1,0 +1,117 @@
+"""Inverse-CDF importance sampling as a Pallas TPU kernel.
+
+Same semantics as ``loner_tpu.models.sampling.sample_pdf`` (nerf_pl-style,
+reference ``src/models/rendering_tcnn.py:19-68``). Measured at the flagship
+shape (4608 rays x 255 bins x 256 draws), the XLA formulations cost
+52 ms/step (broadcast compare-count) and 153 ms/step (take_along_axis
+bisection); this kernel does the same work in VMEM:
+
+  * count pass: one static unrolled compare-accumulate per bin
+    (inds[i,k] = #{j: cdf[i,j] <= u[i,k]}, searchsorted(side="right")),
+  * extraction: 4 lane-axis dynamic gathers (take_along_axis inside the
+    kernel — the one Mosaic gather primitive that is fast on TPU).
+
+Bin arrays are padded to a 128-multiple lane width with +inf sentinels.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _taa_tiled(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(arr (r, P), idx (r, K), axis=1) under Mosaic's
+    dynamic-gather constraints (operand <= 128 lanes, index shape == operand
+    shape): gather per (output 128-column group) x (operand 128-tile) and
+    select by the index high bits."""
+    p = arr.shape[1]
+    k = idx.shape[1]
+    groups = []
+    for g0 in range(0, k, 128):
+        idx_g = idx[:, g0 : g0 + 128]
+        out_g = None
+        for t in range(0, p, 128):
+            local = jnp.clip(idx_g - t, 0, 127)
+            got = jnp.take_along_axis(arr[:, t : t + 128], local, axis=1)
+            out_g = got if out_g is None else jnp.where(idx_g >= t, got, out_g)
+        groups.append(out_g)
+    return jnp.concatenate(groups, axis=1) if len(groups) > 1 else groups[0]
+
+
+def _pdf_kernel(bins_ref, cdf_ref, u_ref, out_ref, *, m1: int, eps: float):
+    # bins (r, P), cdf (r, P) padded with +inf beyond m1+1 entries; u (r, K)
+    u = u_ref[:]
+    bins = bins_ref[:]
+    cdf = cdf_ref[:]
+
+    inds = jnp.zeros(u.shape, jnp.int32)
+    one = jnp.ones(u.shape, jnp.int32)
+    zero = jnp.zeros(u.shape, jnp.int32)
+    for j in range(m1 + 1):
+        inds = inds + jnp.where(cdf[:, j : j + 1] <= u, one, zero)
+
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, m1)
+    lo = _taa_tiled(cdf, below)
+    hi = _taa_tiled(cdf, above)
+    bl = _taa_tiled(bins, below)
+    bh = _taa_tiled(bins, above)
+    denom = hi - lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    out_ref[:] = bl + (u - lo) / denom * (bh - bl)
+
+
+def sample_pdf_pallas(
+    key: jax.Array,
+    bins: jnp.ndarray,  # (N, M+1) bin edges, ascending
+    weights: jnp.ndarray,  # (N, M)
+    n_importance: int,
+    det: bool = False,
+    eps: float = 1e-5,
+    block_rays: int = 128,
+) -> jnp.ndarray:
+    """(N, K) samples from the piecewise-constant pdf over ``bins``."""
+    n_rays, m = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, M+1)
+
+    if det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_importance, dtype=bins.dtype),
+            (n_rays, n_importance),
+        )
+    else:
+        u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
+
+    # pad lane width to a 128 multiple; +inf sentinel keeps the count exact
+    p = ((m + 1 + 127) // 128) * 128
+    big = jnp.asarray(jnp.finfo(bins.dtype).max, bins.dtype)
+    cdf_p = jnp.pad(cdf, ((0, 0), (0, p - (m + 1))), constant_values=big)
+    bins_p = jnp.pad(bins, ((0, 0), (0, p - (m + 1))), constant_values=0.0)
+
+    r = min(block_rays, n_rays)
+    pad = (-n_rays) % r
+    if pad:
+        bins_p = jnp.pad(bins_p, ((0, pad), (0, 0)))
+        cdf_p = jnp.pad(cdf_p, ((0, pad), (0, 0)), constant_values=big)
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+    n_pad = n_rays + pad
+
+    out = pl.pallas_call(
+        partial(_pdf_kernel, m1=m, eps=eps),
+        grid=(n_pad // r,),
+        in_specs=[
+            pl.BlockSpec((r, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, n_importance), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, n_importance), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_importance), bins.dtype),
+    )(bins_p, cdf_p, u)
+    return out[:n_rays]
