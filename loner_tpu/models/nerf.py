@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from loner_tpu.models.hash_encoding import HashEncodingConfig, hash_encode_t, init_hash_table
 from loner_tpu.models.mlp import MLPConfig, init_mlp, mlp_apply_t
 from loner_tpu.models.sh_encoding import sh_encode_t
+from loner_tpu.ops.triad_field import TriadConfig
 
 
 class NeRFConfig(NamedTuple):
@@ -37,11 +38,16 @@ class NeRFConfig(NamedTuple):
     intensity_hidden_dim: int = 64
     intensity_hidden_layers: int = 4
     compute_dtype: str = "bfloat16"
-    # "fused" = FusedHash (ops/fused_encoder.py): per-level 2 MB bf16
-    # gathers + one Pallas kernel for all interp math each way — the TPU
-    # default. "cell" = round-1 CellHash (jnp). "packed" = bf16 pair-packed
-    # gathers + custom VJP. "exact" = plain f32 jnp path.
-    encoding_impl: str = "fused"
+    # "triad" = TriadField (ops/triad_field.py): CP feature lines + Fourier
+    # features + at most ONE hash gather per point — the TPU default (honest
+    # v5e numbers: each 2.36M-row gather costs ~28 ms, so per-level lookups
+    # are unaffordable). "fused" = FusedHash per-level gathers + Pallas
+    # interp. "cell" = round-1 CellHash (jnp). "packed", "exact" = legacy.
+    encoding_impl: str = "triad"
+    # triad sub-config (used when encoding_impl == "triad"); the sigma
+    # branch uses it as-is, the intensity branch reuses it with the hash
+    # table sized by pos_encoding_intensity.log2_hashmap_size
+    triad: TriadConfig = TriadConfig()
     # table-gradient strategy: "strided" = slot-strided level1 with
     # keep-stride (fused impl; compacted per-level scatters — the measured
     # scatter cost is ~15 ns per PROCESSED row, so rows must be few AND
@@ -51,9 +57,20 @@ class NeRFConfig(NamedTuple):
     encoding_bwd_stride: int = 2  # fused/strided: keep every k-th slot group
     encoding_slot_period: int = 512  # fused/strided: samples per ray (S)
 
+    def _triad_for(self, enc: HashEncodingConfig) -> TriadConfig:
+        """Per-branch triad config: the hash table is sized from the
+        branch's HashEncodingConfig so sigma/intensity keep distinct
+        capacities like the reference (log2 18 vs 19)."""
+        return self.triad._replace(hash_log2_cells=max(enc.log2_hashmap_size - 2, 8))
+
+    def _encoding_dim(self, enc: HashEncodingConfig) -> int:
+        if self.encoding_impl == "triad":
+            return self._triad_for(enc).output_dim
+        return enc.output_dim
+
     def sigma_mlp_config(self) -> MLPConfig:
         return MLPConfig(
-            in_dim=self.pos_encoding_sigma.output_dim,
+            in_dim=self._encoding_dim(self.pos_encoding_sigma),
             out_dim=1,
             hidden_dim=self.sigma_hidden_dim,
             n_hidden_layers=self.sigma_hidden_layers,
@@ -61,7 +78,7 @@ class NeRFConfig(NamedTuple):
         )
 
     def intensity_mlp_config(self) -> MLPConfig:
-        in_dim = self.pos_encoding_intensity.output_dim
+        in_dim = self._encoding_dim(self.pos_encoding_intensity)
         if self.enable_view_dependence:
             in_dim += self.sh_degree**2
         return MLPConfig(
@@ -104,6 +121,10 @@ def fused_config_from(cfg: "NeRFConfig", enc: HashEncodingConfig) -> "FusedHashC
 
 
 def _init_table(key, cfg: "NeRFConfig", enc: HashEncodingConfig, impl: str):
+    if impl == "triad":
+        from loner_tpu.ops.triad_field import init_triad
+
+        return init_triad(key, cfg._triad_for(enc))
     if impl == "fused":
         from loner_tpu.ops.fused_encoder import init_fused_table
 
@@ -139,6 +160,12 @@ def _encode_t(
     cfg: "NeRFConfig", table, pos_t, enc_cfg: HashEncodingConfig
 ) -> jnp.ndarray:
     impl = cfg.encoding_impl
+    if impl == "triad":
+        from loner_tpu.ops.triad_field import triad_encode_t
+
+        return triad_encode_t(
+            table, pos_t, cfg._triad_for(enc_cfg), None, cfg.encoding_slot_period
+        )
     if impl == "fused":
         from loner_tpu.ops.fused_encoder import fused_hash_encode_t
 

@@ -55,6 +55,7 @@ class FusedHashConfig(NamedTuple):
     bwd: str = "strided"
     bwd_stride: int = 2  # k: keep every k-th slot-group per level
     slot_period: int = 512  # S, samples per ray; 0 disables strided bwd
+    n_features: int = 2  # bf16 features per corner (= per level); even
 
     @property
     def table_size(self) -> int:
@@ -62,7 +63,11 @@ class FusedHashConfig(NamedTuple):
 
     @property
     def output_dim(self) -> int:
-        return self.n_levels * 2
+        return self.n_levels * self.n_features
+
+    @property
+    def row_width(self) -> int:
+        return 8 * self.n_features
 
     def level_scales(self) -> np.ndarray:
         ls = np.arange(self.n_levels, dtype=np.float64)
@@ -77,8 +82,8 @@ class FusedHashConfig(NamedTuple):
 
 
 def init_fused_table(key: jax.Array, cfg: FusedHashConfig, dtype=jnp.float32) -> jnp.ndarray:
-    """(L, T, 16) f32 master, feature-major rows."""
-    shape = (cfg.n_levels, cfg.table_size, 16)
+    """(L, T, 8*F) f32 master, feature-major rows [f0c0..f0c7, f1c0.., ...]."""
+    shape = (cfg.n_levels, cfg.table_size, cfg.row_width)
     return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
 
 
@@ -147,10 +152,10 @@ def _interp_fwd_ref(pts_t: jnp.ndarray, v_t: jnp.ndarray, cfg: FusedHashConfig) 
     for lvl in range(cfg.n_levels):
         _, frac = _cell_frac(pts_t, float(scales[lvl]), int(res[lvl]))
         w = _corner_weights(frac)  # (8, N)
-        v = v_t[lvl].astype(jnp.float32)  # (16, N)
-        outs.append(jnp.sum(v[0:8] * w, axis=0))
-        outs.append(jnp.sum(v[8:16] * w, axis=0))
-    return jnp.stack(outs)  # (2L, N)
+        v = v_t[lvl].astype(jnp.float32)  # (8F, N)
+        for f in range(cfg.n_features):
+            outs.append(jnp.sum(v[8 * f : 8 * f + 8] * w, axis=0))
+    return jnp.stack(outs)  # (L*F, N)
 
 
 def _dpts_ref(
@@ -170,7 +175,10 @@ def _dpts_ref(
         sy = jnp.asarray([1.0 if b & 2 else -1.0 for b in s], jnp.float32)[:, None]
         sz = jnp.asarray([1.0 if b & 4 else -1.0 for b in s], jnp.float32)[:, None]
         v = v_t[lvl].astype(jnp.float32)
-        pc = v[0:8] * g[2 * lvl][None, :] + v[8:16] * g[2 * lvl + 1][None, :]  # (8, N)
+        nf = cfg.n_features
+        pc = sum(
+            v[8 * f : 8 * f + 8] * g[nf * lvl + f][None, :] for f in range(nf)
+        )  # (8, N)
         dx = jnp.sum(sx * wy * wz * pc, axis=0)
         dy = jnp.sum(sy * wx * wz * pc, axis=0)
         dz = jnp.sum(sz * wx * wy * pc, axis=0)
@@ -200,14 +208,16 @@ def _fwd_kernel(scale_ref, pts_ref, v_ref, out_ref):
     wy = jnp.where(by, fy, 1.0 - fy)
     wz = jnp.where(bz, fz, 1.0 - fz)
     w = wx * wy * wz  # (8, c)
-    v = v_ref[0].astype(jnp.float32)  # (16, c)
-    f0 = jnp.sum(v[0:8] * w, axis=0, keepdims=True)
-    f1 = jnp.sum(v[8:16] * w, axis=0, keepdims=True)
-    out_ref[0] = jnp.concatenate([f0, f1], axis=0)  # (2, c)
+    v = v_ref[0].astype(jnp.float32)  # (8F, c)
+    nf = v.shape[0] // 8
+    outs = [
+        jnp.sum(v[8 * f : 8 * f + 8] * w, axis=0, keepdims=True) for f in range(nf)
+    ]
+    out_ref[0] = jnp.concatenate(outs, axis=0)  # (F, c)
 
 
 def _interp_fwd_pallas(pts_t, v_t, cfg: FusedHashConfig, scales):
-    l = cfg.n_levels
+    l, nf, w = cfg.n_levels, cfg.n_features, cfg.row_width
     n = pts_t.shape[-1]
     c = min(_CHUNK, n)
     grid = (l, n // c)
@@ -217,11 +227,11 @@ def _interp_fwd_pallas(pts_t, v_t, cfg: FusedHashConfig, scales):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3, c), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, c), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, c), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l, 2, n), jnp.float32),
-    )(scales, pts_t, v_t).reshape(2 * l, n)
+        out_specs=pl.BlockSpec((1, nf, c), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, nf, n), jnp.float32),
+    )(scales, pts_t, v_t).reshape(l * nf, n)
 
 
 def _dpts_kernel(scale_ref, pts_ref, v_ref, g_ref, out_ref):
@@ -239,9 +249,10 @@ def _dpts_kernel(scale_ref, pts_ref, v_ref, g_ref, out_ref):
     sx = jnp.where(bx, 1.0, -1.0)
     sy = jnp.where(by, 1.0, -1.0)
     sz = jnp.where(bz, 1.0, -1.0)
-    v = v_ref[0].astype(jnp.float32)  # (16, c)
-    g = g_ref[0]  # (2, c)
-    pc = v[0:8] * g[0:1] + v[8:16] * g[1:2]  # (8, c)
+    v = v_ref[0].astype(jnp.float32)  # (8F, c)
+    g = g_ref[0]  # (F, c)
+    nf = v.shape[0] // 8
+    pc = sum(v[8 * f : 8 * f + 8] * g[f : f + 1] for f in range(nf))  # (8, c)
     dx = jnp.sum(sx * wy * wz * pc, axis=0, keepdims=True)
     dy = jnp.sum(sy * wx * wz * pc, axis=0, keepdims=True)
     dz = jnp.sum(sz * wx * wy * pc, axis=0, keepdims=True)
@@ -257,7 +268,7 @@ def _dpts_kernel(scale_ref, pts_ref, v_ref, g_ref, out_ref):
 
 
 def _dpts_pallas(pts_t, v_t, g, cfg: FusedHashConfig, scales):
-    l = cfg.n_levels
+    l, nf, w = cfg.n_levels, cfg.n_features, cfg.row_width
     n = pts_t.shape[-1]
     c = min(_CHUNK, n)
     grid = (n // c, l)  # level innermost: out block revisited, accumulates
@@ -267,12 +278,12 @@ def _dpts_pallas(pts_t, v_t, g, cfg: FusedHashConfig, scales):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3, c), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, c), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, c), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf, c), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, c), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
-    )(scales, pts_t, v_t, g.reshape(cfg.n_levels, 2, n))
+    )(scales, pts_t, v_t, g.reshape(cfg.n_levels, nf, n))
 
 
 def _use_pallas() -> bool:
@@ -317,7 +328,7 @@ def _fused_fwd(table, pts_t, key_data, cfg: FusedHashConfig):
 
 
 def _bwd_dtable_exact(pts_t, g, cfg: FusedHashConfig):
-    """(L, T, 16) f32: every (point, level) contributes (L x N scatter rows)."""
+    """(L, T, 8F) f32: every (point, level) contributes (L x N scatter rows)."""
     scales = cfg.level_scales()
     res = cfg.level_resolutions()
     d_levels = []
@@ -325,9 +336,12 @@ def _bwd_dtable_exact(pts_t, g, cfg: FusedHashConfig):
         idx = _level_indices(pts_t, cfg, lvl)
         _, frac = _cell_frac(pts_t, float(scales[lvl]), int(res[lvl]))
         w = _corner_weights(frac)  # (8, N)
-        gl = g[2 * lvl : 2 * lvl + 2]  # (2, N)
-        upd = jnp.einsum("sn,fn->nfs", w, gl).reshape(-1, 16)
-        d_levels.append(jnp.zeros((cfg.table_size, 16), jnp.float32).at[idx].add(upd))
+        nf = cfg.n_features
+        gl = g[nf * lvl : nf * lvl + nf]  # (F, N)
+        upd = jnp.einsum("sn,fn->nfs", w, gl).reshape(-1, cfg.row_width)
+        d_levels.append(
+            jnp.zeros((cfg.table_size, cfg.row_width), jnp.float32).at[idx].add(upd)
+        )
     return jnp.stack(d_levels)
 
 
@@ -346,8 +360,9 @@ def _bwd_dtable_strided(pts_t, g, key_data, cfg: FusedHashConfig):
     phase = (key_data[1] % np.uint32(k)).astype(jnp.int32)
 
     # (3, n_rays, S/group, k, L): last axis = s % L, k axis = (s // L) % k
+    nf = cfg.n_features
     pts_g = pts_t.reshape(3, n_rays, s_per // group, k, l)
-    g_g = g.reshape(2 * l, n_rays, s_per // group, k, l)
+    g_g = g.reshape(nf * l, n_rays, s_per // group, k, l)
     pts_ph = jnp.take(pts_g, phase, axis=3)  # (3, R, S/group, L)
     g_ph = jnp.take(g_g, phase, axis=3)
 
@@ -358,9 +373,13 @@ def _bwd_dtable_strided(pts_t, g, key_data, cfg: FusedHashConfig):
         idx = _level_indices(p_l, cfg, lvl)
         _, frac = _cell_frac(p_l, float(scales[lvl]), int(res[lvl]))
         w = _corner_weights(frac)  # (8, m)
-        gl = jnp.take(g_ph[2 * lvl : 2 * lvl + 2], cls, axis=3).reshape(2, -1)
-        upd = jnp.einsum("sn,fn->nfs", w, gl).reshape(-1, 16) * jnp.float32(l * k)
-        d_levels.append(jnp.zeros((cfg.table_size, 16), jnp.float32).at[idx].add(upd))
+        gl = jnp.take(g_ph[nf * lvl : nf * lvl + nf], cls, axis=3).reshape(nf, -1)
+        upd = jnp.einsum("sn,fn->nfs", w, gl).reshape(-1, cfg.row_width) * jnp.float32(
+            l * k
+        )
+        d_levels.append(
+            jnp.zeros((cfg.table_size, cfg.row_width), jnp.float32).at[idx].add(upd)
+        )
     return jnp.stack(d_levels)
 
 

@@ -200,9 +200,12 @@ class TestNeRF:
             out = query_nerf(p, pts, dirs, cfg, detach_sigma=detach)
             return jnp.sum(out)
 
+        def absum(tree):
+            return sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(tree))
+
         g_detached = jax.grad(loss)(params, True)
-        assert float(jnp.sum(jnp.abs(g_detached["sigma"]["table"]))) == 0.0
+        assert absum(g_detached["sigma"]["table"]) == 0.0
         g_full = jax.grad(loss)(params, False)
-        assert float(jnp.sum(jnp.abs(g_full["sigma"]["table"]))) > 0.0
+        assert absum(g_full["sigma"]["table"]) > 0.0
         # intensity branch always gets gradient
-        assert float(jnp.sum(jnp.abs(g_detached["intensity"]["table"]))) > 0.0
+        assert absum(g_detached["intensity"]["table"]) > 0.0
