@@ -242,8 +242,8 @@ def make_train_step(cfg: MapperConfig, cube):
         )
         return loss, (aux, render, bundle)
 
-    @jax.jit
-    def train_step(
+    def _train_step(
+        pose_grads: bool,
         state: MapperState,
         window,  # KeyFrameWindow
         key: jax.Array,
@@ -251,18 +251,34 @@ def make_train_step(cfg: MapperConfig, cube):
         pose_mask: jnp.ndarray,  # (K,) 1.0 where this phase may move the pose
         iteration: jnp.ndarray,  # scalar — iteration within the phase
     ) -> Tuple[MapperState, dict]:
-        (loss, (aux, render, bundle)), grads = jax.value_and_grad(
-            _forward, argnums=(0, 1), has_aux=True
-        )(
-            state.params,
-            state.poses,
-            state.occ_grid,
-            window,
-            key,
-            iteration.astype(jnp.float32),
-            state.global_step.astype(jnp.float32),
-        )
-        g_params, g_poses = grads
+        # pose_grads is STATIC: pose-frozen phases compile a step without the
+        # d(rays)/d(pose) backward (sort/stratify/ray-build VJPs all DCE'd)
+        if pose_grads:
+            (loss, (aux, render, bundle)), grads = jax.value_and_grad(
+                _forward, argnums=(0, 1), has_aux=True
+            )(
+                state.params,
+                state.poses,
+                state.occ_grid,
+                window,
+                key,
+                iteration.astype(jnp.float32),
+                state.global_step.astype(jnp.float32),
+            )
+            g_params, g_poses = grads
+        else:
+            (loss, (aux, render, bundle)), g_params = jax.value_and_grad(
+                _forward, argnums=0, has_aux=True
+            )(
+                state.params,
+                jax.lax.stop_gradient(state.poses),
+                state.occ_grid,
+                window,
+                key,
+                iteration.astype(jnp.float32),
+                state.global_step.astype(jnp.float32),
+            )
+            g_poses = jnp.zeros_like(state.poses)
 
         finite = jnp.logical_and(
             jnp.isfinite(loss),
@@ -290,12 +306,17 @@ def make_train_step(cfg: MapperConfig, cube):
         )
 
         # Poses: per-row mask (latest-kf-only phases), plus the global flag.
-        pose_updates, opt_poses_new = tx_poses.update(g_poses, state.opt_poses, state.poses)
-        pose_updates = pose_updates * pose_mask[:, None]
-        new_poses = optax.apply_updates(state.poses, pose_updates)
-        skip_poses = jnp.logical_or(flags.freeze_poses, jnp.logical_not(finite))
-        new_poses = jnp.where(skip_poses, state.poses, new_poses)
-        opt_poses = _tree_where(skip_poses, state.opt_poses, opt_poses_new)
+        if pose_grads:
+            pose_updates, opt_poses_new = tx_poses.update(
+                g_poses, state.opt_poses, state.poses
+            )
+            pose_updates = pose_updates * pose_mask[:, None]
+            new_poses = optax.apply_updates(state.poses, pose_updates)
+            skip_poses = jnp.logical_or(flags.freeze_poses, jnp.logical_not(finite))
+            new_poses = jnp.where(skip_poses, state.poses, new_poses)
+            opt_poses = _tree_where(skip_poses, state.opt_poses, opt_poses_new)
+        else:
+            new_poses, opt_poses = state.poses, state.opt_poses
 
         # Occupancy-grid update (every n_iters_acc steps; flag set by caller).
         def occ_update(occ_and_opt):
@@ -334,6 +355,16 @@ def make_train_step(cfg: MapperConfig, cube):
         aux["loss"] = loss
         aux["finite"] = finite
         return new_state, aux
+
+    step_posed = jax.jit(partial(_train_step, True), donate_argnums=(0,))
+    step_frozen = jax.jit(partial(_train_step, False), donate_argnums=(0,))
+
+    def train_step(state, window, key, flags, pose_mask, iteration):
+        # freeze_poses picks the compiled variant (host-side, static); the
+        # remaining flags stay dynamic so phases don't recompile
+        fp = bool(flags.freeze_poses)
+        fn = step_frozen if fp else step_posed
+        return fn(state, window, key, flags, pose_mask, iteration)
 
     return train_step
 

@@ -41,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PRIMES = (1, 2654435761, 805459861)
 
-_CHUNK = 32768  # points per kernel program; v slab (16, c) bf16 = 1 MB VMEM
+_CHUNK = 32768  # points per kernel program at row_width 16; scaled down for
+# fat rows so the per-program v slab stays ~1 MB bf16 (VMEM budget)
+
+
+def _chunk_for(row_width: int) -> int:
+    return max(2048, _CHUNK * 16 // row_width)
 
 
 class FusedHashConfig(NamedTuple):
@@ -219,7 +224,7 @@ def _fwd_kernel(scale_ref, pts_ref, v_ref, out_ref):
 def _interp_fwd_pallas(pts_t, v_t, cfg: FusedHashConfig, scales):
     l, nf, w = cfg.n_levels, cfg.n_features, cfg.row_width
     n = pts_t.shape[-1]
-    c = min(_CHUNK, n)
+    c = min(_chunk_for(w), n)
     grid = (l, n // c)
     return pl.pallas_call(
         _fwd_kernel,
@@ -270,7 +275,7 @@ def _dpts_kernel(scale_ref, pts_ref, v_ref, g_ref, out_ref):
 def _dpts_pallas(pts_t, v_t, g, cfg: FusedHashConfig, scales):
     l, nf, w = cfg.n_levels, cfg.n_features, cfg.row_width
     n = pts_t.shape[-1]
-    c = min(_CHUNK, n)
+    c = min(_chunk_for(w), n)
     grid = (n // c, l)  # level innermost: out block revisited, accumulates
     return pl.pallas_call(
         _dpts_kernel,
@@ -295,9 +300,9 @@ def _use_pallas() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _pad_pts(pts_t: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+def _pad_pts(pts_t: jnp.ndarray, row_width: int = 16) -> Tuple[jnp.ndarray, int]:
     n = pts_t.shape[-1]
-    c = min(_CHUNK, ((n + 127) // 128) * 128)
+    c = min(_chunk_for(row_width), ((n + 127) // 128) * 128)
     pad = (-n) % c
     if pad:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)))
@@ -312,7 +317,7 @@ def _fused_encode(table, pts_t, key_data, cfg: FusedHashConfig):
 
 def _encode_fwd_impl(table, pts_t, cfg: FusedHashConfig):
     tables_bf16 = table.astype(jnp.bfloat16)
-    pts_p, n = _pad_pts(pts_t)
+    pts_p, n = _pad_pts(pts_t, cfg.row_width)
     v_t = _gather_v_t(tables_bf16, pts_p, cfg)
     if _use_pallas():
         scales = jnp.asarray(cfg.level_scales()).reshape(-1, 1)
@@ -386,7 +391,7 @@ def _bwd_dtable_strided(pts_t, g, key_data, cfg: FusedHashConfig):
 def _fused_bwd(cfg: FusedHashConfig, resids, g):
     table, pts_t, key_data = resids
     tables_bf16 = table.astype(jnp.bfloat16)
-    pts_p, n = _pad_pts(pts_t)
+    pts_p, n = _pad_pts(pts_t, cfg.row_width)
     g_p = jnp.pad(g, ((0, 0), (0, pts_p.shape[-1] - n))) if pts_p.shape[-1] != n else g
 
     v_t = _gather_v_t(tables_bf16, pts_p, cfg)

@@ -72,54 +72,21 @@ class TriadConfig(NamedTuple):
 
 
 def init_triad(key: jax.Array, cfg: TriadConfig, dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, len(cfg.cp_resolutions) * 3 + 1)
-    lines = []
-    i = 0
-    for res in cfg.cp_resolutions:
-        axes = []
-        for _ in range(3):
-            # init near 1 so products of three axis values start near 1 and
-            # gradients do not vanish (TensoRF-style multiplicative init)
-            axes.append(
-                1.0 + 0.1 * jax.random.normal(ks[i], (res, cfg.cp_features), dtype)
-            )
-            i += 1
-        lines.append(axes)
-    params = {"cp": lines}
+    k_cp, k_hash = jax.random.split(key)
+    params = {}
+    if len(cfg.cp_resolutions) > 0:
+        from loner_tpu.ops.cp_kernel import init_cp_lines
+
+        params["cp"] = init_cp_lines(k_cp, cfg.cp_resolutions, cfg.cp_features, dtype)
     if cfg.hash_levels > 0:
         from loner_tpu.ops.fused_encoder import init_fused_table
 
-        params["hash"] = init_fused_table(ks[i], cfg.hash_config(), dtype)
+        params["hash"] = init_fused_table(k_hash, cfg.hash_config(), dtype)
     return params
 
 
 def triad_out_dim(cfg: TriadConfig) -> int:
     return cfg.output_dim
-
-
-def _line_interp_t(line: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """line (res, F), x (N,) in [0,1] -> (F, N) linear interpolation.
-
-    jnp reference (gathers); the TPU path uses the two-hot matmul kernel in
-    ops/cp_kernel.py when available."""
-    res = line.shape[0]
-    pix = jnp.clip(x, 0.0, 1.0) * (res - 1)
-    i0 = jnp.clip(jnp.floor(pix).astype(jnp.int32), 0, res - 2)
-    f = pix - i0.astype(pix.dtype)
-    v0 = line[i0]  # (N, F)
-    v1 = line[i0 + 1]
-    return (v0 * (1.0 - f[:, None]) + v1 * f[:, None]).T  # (F, N)
-
-
-def cp_encode_t(lines, pts_t: jnp.ndarray, cfg: TriadConfig) -> jnp.ndarray:
-    """(L*F, N) CP features at pts_t (3, N) in [0,1]."""
-    outs = []
-    for lvl, axes in enumerate(lines):
-        ax = _line_interp_t(axes[0], pts_t[0])
-        ay = _line_interp_t(axes[1], pts_t[1])
-        az = _line_interp_t(axes[2], pts_t[2])
-        outs.append(ax * ay * az)  # (F, N)
-    return jnp.concatenate(outs, axis=0)
 
 
 def fourier_encode_t(pts_t: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
@@ -143,7 +110,11 @@ def triad_encode_t(
     """(output_dim, N) features."""
     feats = []
     if len(cfg.cp_resolutions) > 0:
-        feats.append(cp_encode_t(params["cp"], pts_t, cfg))
+        from loner_tpu.ops.cp_kernel import cp_encode_t
+
+        feats.append(
+            cp_encode_t(params["cp"], pts_t, cfg.cp_resolutions, cfg.cp_features)
+        )
     if cfg.fourier_freqs > 0:
         feats.append(fourier_encode_t(pts_t, cfg.fourier_freqs))
     if cfg.hash_levels > 0:

@@ -50,7 +50,13 @@ def mapper_state_shardings(state, mesh: Mesh):
     repl = NamedSharding(mesh, P())
 
     def leaf_sharding(path, leaf):
-        if _is_table_path(path) and getattr(leaf, "ndim", 0) >= 2:
+        # shard only leaves whose second-to-last axis is the cell axis of a
+        # real hash table; tiny CP lines / Fourier-free leaves stay replicated
+        if (
+            _is_table_path(path)
+            and getattr(leaf, "ndim", 0) >= 2
+            and leaf.shape[-2] >= 4096
+        ):
             return table_s
         return repl
 
