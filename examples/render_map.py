@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--var-threshold", type=float, default=1e-2)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--width", type=int, default=320)
+    ap.add_argument(
+        "--render-strategy", default="default", choices=["default", "adjusted"],
+        help="adjusted = FDT rise-delta peak depth (foliage multi-return)",
+    )
+    ap.add_argument("--rgb", action="store_true", help="also write intensity images")
     args = ap.parse_args()
 
     from loner_tpu.analysis.mesher import Mesher, save_pcd, save_ply
@@ -72,10 +77,19 @@ def main():
         import matplotlib.pyplot as plt
 
         for i, pose in enumerate(poses[:: args.skip_step]):
-            img = render_camera_image(cfg, cube, state, pose, K, args.height, args.width)
+            img = render_camera_image(
+                cfg, cube, state, pose, K, args.height, args.width,
+                rgb=args.rgb, render_strategy=args.render_strategy,
+            )
             plt.imsave(
                 os.path.join(args.out, f"depth_{i:04d}.png"), img["depth"], cmap="turbo"
             )
+            if args.rgb:
+                plt.imsave(
+                    os.path.join(args.out, f"rgb_{i:04d}.png"),
+                    img["rgb"][..., 0] if img["rgb"].shape[-1] == 1 else img["rgb"],
+                    cmap="gray" if img["rgb"].shape[-1] == 1 else None,
+                )
         print(f"[render_map] depth images -> {args.out}")
 
 

@@ -28,7 +28,6 @@ def run_trial(settings, dataset, out_dir: str, use_gt: bool, profile: bool = Fal
     import numpy as np
 
     from loner_tpu.config.build import build_slam_config
-    from loner_tpu.data.scan import sky_scan
     from loner_tpu.geometry.world_cube import compute_world_cube
     from loner_tpu.runtime.profiling import maybe_trace
     from loner_tpu.slam import LonerSLAM
@@ -46,7 +45,7 @@ def run_trial(settings, dataset, out_dir: str, use_gt: bool, profile: bool = Fal
 
     slam_cfg = build_slam_config(settings, float(cube.scale_factor))
     slam_cfg.use_groundtruth_poses = use_gt
-    slam = LonerSLAM(slam_cfg, cube)
+    slam = LonerSLAM(slam_cfg, cube, out_dir=out_dir)
 
     # persist the resolved config + world cube (the reference's contract)
     settings.dump_yaml(os.path.join(out_dir, "full_config.yaml"))

@@ -20,14 +20,29 @@ from loner_tpu.geometry.rays import build_camera_rays, build_lidar_rays, camera_
 from loner_tpu.mapping.optimizer import MapperConfig, make_render_fn
 
 
-def _render_chunked(cfg, cube, state, dirs, pose, build_fn, chunk: int = 16384, key=None):
+def _render_chunked(
+    cfg,
+    cube,
+    state,
+    dirs,
+    pose,
+    build_fn,
+    chunk: int = 16384,
+    key=None,
+    rgb: bool = False,
+    render_strategy: str = "default",
+):
     """Render arbitrary direction sets in fixed-size chunks (pads the tail).
-    Returns dict of np arrays [depth, variance, opacity]."""
-    render_fn = make_render_fn(cfg, test=True)
+    Returns dict of np arrays [depth, variance, opacity(, rgb)]."""
+    render_fn = make_render_fn(
+        cfg, test=True, sigma_only=not rgb, render_strategy=render_strategy
+    )
     if key is None:
         key = jax.random.PRNGKey(0)
     n = dirs.shape[0]
     out = {"depth": [], "variance": [], "opacity": []}
+    if rgb:
+        out["rgb"] = []
     pose_j = jnp.asarray(pose, jnp.float32)
     for s in range(0, n, chunk):
         d = dirs[s : s + chunk]
@@ -41,6 +56,8 @@ def _render_chunked(cfg, cube, state, dirs, pose, build_fn, chunk: int = 16384, 
         out["depth"].append(np.asarray(r.depth)[sl])
         out["variance"].append(np.asarray(r.variance)[sl])
         out["opacity"].append(np.asarray(r.opacity)[sl])
+        if rgb:
+            out["rgb"].append(np.asarray(r.rgb)[sl])
     return {k: np.concatenate(v) for k, v in out.items()}
 
 
@@ -91,21 +108,46 @@ def render_camera_image(
     height: int,
     width: int,
     chunk: int = 16384,
+    rgb: bool = True,
+    distortion: Optional[np.ndarray] = None,
+    render_strategy: str = "default",
 ) -> Dict[str, np.ndarray]:
-    """Full-image depth render (+ intensity once the RGB head is trained).
-    ``analysis/renderer.py:181-216`` role."""
-    dirs = np.asarray(camera_ray_directions(height, width, jnp.asarray(K, jnp.float32)))
+    """Full-image depth + intensity render (``analysis/renderer.py:181-216``
+    renders rgb + depth). ``distortion`` (plumb-bob coeffs) makes the rays
+    follow the real (distorted) pixel grid like the reference's
+    kornia-undistorted ``CameraRayDirections``."""
+    if distortion is not None and np.any(distortion):
+        from loner_tpu.data.calibration import CameraCalibration, undistorted_pixel_rays
+
+        dirs = undistorted_pixel_rays(
+            CameraCalibration(
+                K=np.asarray(K, float),
+                distortion=np.asarray(distortion, float),
+                width=width,
+                height=height,
+            )
+        )
+    else:
+        dirs = np.asarray(
+            camera_ray_directions(height, width, jnp.asarray(K, jnp.float32))
+        )
 
     def build(d, p):
         return build_camera_rays(d, p, cube, cfg.ray_range)
 
-    out = _render_chunked(cfg, cube, state, dirs, pose, build, chunk)
+    out = _render_chunked(
+        cfg, cube, state, dirs, pose, build, chunk, rgb=rgb,
+        render_strategy=render_strategy,
+    )
     scale = cfg.world_scale
-    return {
+    result = {
         "depth": (out["depth"] * scale).reshape(height, width),
         "variance": (out["variance"] * scale * scale).reshape(height, width),
         "opacity": out["opacity"].reshape(height, width),
     }
+    if rgb:
+        result["rgb"] = np.clip(out["rgb"].reshape(height, width, -1), 0.0, 1.0)
+    return result
 
 
 def assemble_global_cloud(

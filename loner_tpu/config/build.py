@@ -95,6 +95,7 @@ def build_mapper_config(settings: Settings, world_scale: float) -> MapperConfig:
         n_samples_test=mc.model.render.N_samples_test,
         perturb=mc.model.render.perturb,
         samples_strategy=opt.samples_selection.strategy,
+        rays_strategy=opt.rays_selection.strategy,
         lr_sigma=mc.train.lrate_sigma_mlp,
         lr_rgb=mc.train.lrate_rgb,
         lr_pose=mc.train.lrate_pose,
@@ -149,6 +150,20 @@ def build_tracker_config(settings: Settings) -> TrackerConfig:
         scan_duration=icp.scan_duration,
         target_points=icp.downsample.target_uniform_point_count,
         motion_compensation=settings.tracker.motion_compensation.enabled,
+        sky_segmentation=settings.system.get("sky_segmentation", False),
+    )
+
+
+def build_loop_closure_config(settings: Settings):
+    from loner_tpu.mapping.loop_closure import LoopClosureConfig
+
+    lc = settings.system.get("loop_closure", None)
+    if lc is None:
+        return LoopClosureConfig()
+    return LoopClosureConfig(
+        enabled=lc.get("enabled", False),
+        min_index_gap=lc.get("min_index_gap", 8),
+        max_candidate_distance_m=lc.get("max_candidate_distance_m", 4.0),
     )
 
 
@@ -164,8 +179,14 @@ def build_slam_config(settings: Settings, world_scale: float) -> SlamConfig:
             keyframe_manager=build_keyframe_manager_config(settings),
             schedule=build_schedule(settings),
             n_sky_pad=settings.data.get("sky_points_budget", 4096),
+            log_level=settings.mapper.get("log_level", "STANDARD"),
+            log_losses=(
+                settings.debug.global_enabled
+                and settings.debug.flags.get("log_losses", False)
+            ),
         ),
         single_threaded=settings.system.single_threaded,
         max_time_delta=settings.system.synchronization.max_time_delta,
         use_groundtruth_poses=settings.debug.flags.get("use_groundtruth_poses", False),
+        loop_closure=build_loop_closure_config(settings),
     )

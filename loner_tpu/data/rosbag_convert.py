@@ -133,3 +133,132 @@ def convert_bag(bag_path: str, out_dir: str, cfg: BagConversionConfig = BagConve
     with open(os.path.join(out_dir, "meta.yaml"), "w") as f:
         yaml.safe_dump({"name": os.path.basename(bag_path)}, f)
     return i
+
+
+# ---------------------------------------------------------------------------
+# trajectory extraction (reference rosbag_utils/extract_trajectories.py)
+# ---------------------------------------------------------------------------
+
+
+def poses_from_stamped_quats(
+    stamps: np.ndarray,  # (N,)
+    positions: np.ndarray,  # (N, 3)
+    quats_xyzw: np.ndarray,  # (N, 4)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stamped position+quaternion stream -> ((N,4,4) poses, sorted stamps).
+    The pure core of odometry/tf extraction — unit-testable without ROS."""
+    import jax.numpy as jnp
+
+    from loner_tpu.geometry import se3
+
+    stamps = np.asarray(stamps, float)
+    order = np.argsort(stamps)
+    positions = np.asarray(positions, float)[order]
+    quats = np.asarray(quats_xyzw, float)[order]
+    R = np.asarray(se3.quat_to_matrix(jnp.asarray(quats, jnp.float32)))
+    poses = np.tile(np.eye(4), (len(stamps), 1, 1))
+    poses[:, :3, :3] = R
+    poses[:, :3, 3] = positions
+    return poses, stamps[order]
+
+
+def select_tf_pair(
+    parents: list,
+    children: list,
+    stamps: np.ndarray,
+    positions: np.ndarray,
+    quats_xyzw: np.ndarray,
+    parent_frame: str,
+    child_frame: str,
+):
+    """Filter a flattened tf stream down to one (parent, child) pair."""
+    keep = [
+        i
+        for i, (p, c) in enumerate(zip(parents, children))
+        if p.lstrip("/") == parent_frame.lstrip("/")
+        and c.lstrip("/") == child_frame.lstrip("/")
+    ]
+    idx = np.asarray(keep, int)
+    return (
+        np.asarray(stamps, float)[idx],
+        np.asarray(positions, float)[idx],
+        np.asarray(quats_xyzw, float)[idx],
+    )
+
+
+def extract_trajectory_from_bag(
+    bag_path: str,
+    out_tum: str,
+    topic: str = "/mapping_node/scan2map_odometry",
+    kind: str = "odometry",  # odometry | tf
+    parent_frame: str = "map",
+    child_frame: str = "base_link",
+) -> int:
+    """Odometry/tf topic -> TUM trajectory file (the reference's
+    ``extract_trajectories.py:16-45`` role). Returns the pose count."""
+    if not HAS_ROS:
+        raise RuntimeError("rosbag is not available in this environment")
+    from loner_tpu.runtime.trajectory_logger import dump_tum
+
+    stamps, positions, quats, parents, children = [], [], [], [], []
+    bag = rosbag.Bag(bag_path)
+    for _, msg, _ in bag.read_messages(topics=[topic]):
+        if kind == "odometry":
+            p = msg.pose.pose.position
+            q = msg.pose.pose.orientation
+            stamps.append(msg.header.stamp.to_sec())
+            positions.append([p.x, p.y, p.z])
+            quats.append([q.x, q.y, q.z, q.w])
+        else:  # tf2_msgs/TFMessage
+            for t in msg.transforms:
+                tr = t.transform.translation
+                q = t.transform.rotation
+                stamps.append(t.header.stamp.to_sec())
+                positions.append([tr.x, tr.y, tr.z])
+                quats.append([q.x, q.y, q.z, q.w])
+                parents.append(t.header.frame_id)
+                children.append(t.child_frame_id)
+    bag.close()
+    stamps = np.asarray(stamps)
+    positions = np.asarray(positions)
+    quats = np.asarray(quats)
+    if kind == "tf":
+        stamps, positions, quats = select_tf_pair(
+            parents, children, stamps, positions, quats, parent_frame, child_frame
+        )
+    poses, times = poses_from_stamped_quats(stamps, positions, quats)
+    dump_tum(poses, times, out_tum)
+    return len(times)
+
+
+def extract_images_from_bag(
+    bag_path: str,
+    out_dir: str,
+    topic: str = "/stereo/frame_left/image_raw/compressed",
+    compressed: bool = True,
+    image_scale: float = 1.0,
+) -> int:
+    """Image topic -> images/*.npz (the reference's ``extract_images.py``
+    role; compressed decode via cv2)."""
+    if not HAS_ROS:
+        raise RuntimeError("rosbag is not available in this environment")
+    import cv2
+
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    bag = rosbag.Bag(bag_path)
+    i = 0
+    for _, msg, _ in bag.read_messages(topics=[topic]):
+        if compressed:
+            img = cv2.imdecode(np.frombuffer(msg.data, np.uint8), cv2.IMREAD_COLOR)
+        else:
+            img = np.frombuffer(msg.data, np.uint8).reshape(msg.height, msg.width, -1)
+        if image_scale != 1.0:
+            img = cv2.resize(img, None, fx=image_scale, fy=image_scale)
+        np.savez_compressed(
+            os.path.join(out_dir, "images", f"{i:06d}.npz"),
+            image=(img[..., ::-1] if img.ndim == 3 else img),  # BGR -> RGB
+            timestamp=np.float64(msg.header.stamp.to_sec()),
+        )
+        i += 1
+    bag.close()
+    return i

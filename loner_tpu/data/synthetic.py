@@ -156,3 +156,32 @@ def circular_trajectory(
         poses[i, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         poses[i, :3, 3] = [radius * np.cos(th), radius * np.sin(th), z]
     return poses, ts
+
+
+def world_intensity(pts: np.ndarray) -> np.ndarray:
+    """Synthetic reflectivity texture: smooth function of world position —
+    gives the camera/intensity path a learnable groundtruth."""
+    return 0.5 + 0.25 * np.sin(0.8 * pts[:, 0]) + 0.25 * np.cos(0.8 * pts[:, 1])
+
+
+def render_intensity_image(
+    scene: Scene,
+    pose: np.ndarray,  # (4,4) world_T_camera
+    K: np.ndarray,  # (3,3)
+    h: int,
+    w: int,
+    max_range: float = 40.0,
+):
+    """Ray-cast groundtruth intensity image. Returns (img (H,W,1) float32 in
+    [0,1], hit mask (H,W))."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pix = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5, np.ones(h * w)], axis=-1)
+    dirs_cam = pix @ np.linalg.inv(K).T
+    dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
+    dirs_world = dirs_cam @ pose[:3, :3].T
+    origins = np.broadcast_to(pose[:3, 3], (h * w, 3)).copy()
+    dist = ray_cast(scene, origins, dirs_world, max_range)
+    hit = np.isfinite(dist)
+    pts = origins + dirs_world * np.where(hit, dist, max_range)[:, None]
+    img = np.where(hit, world_intensity(pts), 0.0).reshape(h, w, 1)
+    return np.clip(img, 0.0, 1.0).astype(np.float32), hit.reshape(h, w)

@@ -107,7 +107,7 @@ def make_camera_train_step(cfg: MapperConfig, cube, n_rays: int = 4096):
     _, tx_intensity, _, _ = make_optimizers(cfg)
 
     def _forward(params, occ_grid, window, key):
-        k_pix, k_samp = jax.random.split(key)
+        k_pix, k_samp, k_enc = jax.random.split(key, 3)
         bundle, target = _sample_camera_rays(window, cube, cfg, n_rays, k_pix)
         if cfg.samples_strategy == "OGM":
             z_vals = sampling.occ_grid_sampler_z_vals(
@@ -118,7 +118,8 @@ def make_camera_train_step(cfg: MapperConfig, cube, n_rays: int = 4096):
                 k_samp, bundle, cfg.n_samples_train, cfg.perturb
             )
         render = render_rays(
-            params, bundle, z_vals, cfg.nerf, sigma_only=False, detach_sigma=True
+            params, bundle, z_vals, cfg.nerf, sigma_only=False, detach_sigma=True,
+            key=k_enc,
         )
         return compute_camera_loss(render, target, bundle.valid, cfg.loss)
 

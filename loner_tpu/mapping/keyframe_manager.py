@@ -43,6 +43,7 @@ class KeyFrameManager:
         self.keyframes: List[KeyFrame] = []
         self._rng = pyrandom.Random(seed)
         self._last_accepted_time: Optional[float] = None
+        self._last_motion_rejected_time: Optional[float] = None
 
     def __len__(self) -> int:
         return len(self.keyframes)
@@ -68,11 +69,31 @@ class KeyFrameManager:
         s = self.cfg.selection_strategy
         if s == "TEMPORAL":
             return self._temporal_gate(timestamp)
-        if s == "MOTION":
-            return self._motion_gate(tracked_pose)
-        if s in ("HYBRID", "HYBRID_LAZY"):
-            return self._temporal_gate(timestamp) and self._motion_gate(tracked_pose)
+        if s in ("MOTION", "HYBRID", "HYBRID_LAZY"):
+            motion = self._motion_gate(tracked_pose)
+            temporal = self._temporal_gate(timestamp)
+            if temporal and not motion:
+                # the platform is stationary: remember the rejection so
+                # HYBRID_LAZY/MOTION backpressure doesn't starve the tracker
+                # (reference keyframe_manager.py:75-76,122-127)
+                self._last_motion_rejected_time = timestamp
+            return motion if s == "MOTION" else (motion and temporal)
         raise ValueError(f"Unknown keyframe selection strategy {s}")
+
+    @property
+    def last_mapped_time(self) -> Optional[float]:
+        """The timestamp backpressure should compare against: for
+        MOTION/HYBRID_LAZY, a motion-rejected (stationary) frame counts as
+        'mapped' so the tracker isn't throttled while nothing moves
+        (``keyframe_manager.py:122-127``)."""
+        if (
+            self.cfg.selection_strategy in ("MOTION", "HYBRID_LAZY")
+            and self._last_motion_rejected_time is not None
+        ):
+            if self._last_accepted_time is None:
+                return self._last_motion_rejected_time
+            return max(self._last_motion_rejected_time, self._last_accepted_time)
+        return self._last_accepted_time
 
     # -- pose re-basing -----------------------------------------------------
     def rebase_pose(self, tracked_pose: np.ndarray, optimized_poses: np.ndarray) -> np.ndarray:

@@ -76,6 +76,20 @@ class OnlineMapperConfig:
     schedule: List[SchedulePhase] = field(default_factory=default_keyframe_schedule)
     n_sky_pad: int = 64
     seed: int = 0
+    # checkpoint cadence (reference mapper.log_level, mapper.py:110-119):
+    # VERBOSE = full checkpoint every keyframe, STANDARD = every 10th,
+    # DISABLED = none; pose states are dumped every keyframe either way,
+    # and a final checkpoint is always written at stop.
+    log_level: str = "STANDARD"
+    checkpoint_dir: Optional[str] = None
+    # loss observability (reference debug.flags.log_losses,
+    # optimizer.py:496-508): per-keyframe, per-phase CSVs of the loss terms
+    log_losses: bool = False
+    loss_log_dir: Optional[str] = None
+    # run the mapper's step on a device mesh (DP over the window axis) —
+    # with the tracker pinned elsewhere, tracking and mapping become two
+    # concurrent programs on disjoint devices (the PP axis)
+    mesh_device_indices: Optional[List[int]] = None
 
 
 class OnlineMapper:
@@ -86,7 +100,21 @@ class OnlineMapper:
             jax.random.PRNGKey(cfg.seed), cfg.mapper
         )
         self.kf_manager = KeyFrameManager(cfg.keyframe_manager, seed=cfg.seed)
-        self._train_step = make_train_step(cfg.mapper, cube)
+        # state is threaded linearly (self.state = step(self.state, ...)), so
+        # donation is safe and halves HBM held by tables + Adam moments
+        if cfg.mesh_device_indices:
+            from jax.sharding import Mesh
+
+            from loner_tpu.parallel.sharding import make_sharded_train_step
+
+            devs = [jax.devices()[i] for i in cfg.mesh_device_indices]
+            self.mesh = Mesh(np.asarray(devs), ("data",))
+            self._train_step = make_sharded_train_step(
+                cfg.mapper, cube, self.mesh, donate=True
+            )
+        else:
+            self.mesh = None
+            self._train_step = make_train_step(cfg.mapper, cube, donate=True)
         self._key = jax.random.PRNGKey(cfg.seed + 1)
         # host-side mirror of state.global_step: reading the device scalar
         # every iteration would add a device->host round-trip per step
@@ -162,7 +190,8 @@ class OnlineMapper:
         n_iters = 0
         t_opt = time.time()
         self.window_timer.start()
-        for phase in self._phases_for_kf(len(self.kf_manager)):
+        loss_rows: List[tuple] = []  # (phase_idx, it, aux) device scalars
+        for phase_idx, phase in enumerate(self._phases_for_kf(len(self.kf_manager))):
             flags = TrainStepFlags(
                 freeze_sigma=jnp.asarray(phase.freeze_sigma_mlp),
                 freeze_rgb=jnp.asarray(phase.freeze_rgb_mlp),
@@ -170,8 +199,22 @@ class OnlineMapper:
                 do_occ_update=jnp.asarray(False),
             )
             pose_mask = self._pose_mask(window_kfs, phase.latest_kf_only)
-            for it in range(phase.num_iterations):
-                self._key, sub = jax.random.split(self._key)
+            n_phase_iters = phase.num_iterations
+            window_key = None
+            if self.cfg.mapper.rays_strategy == "FIXED":
+                # FIXED = one epoch over every scan point: the key stays
+                # constant across the window (fixed shuffle) and the
+                # iteration count covers the whole padded scan
+                # (reference optimizer.py:278-281)
+                self._key, window_key = jax.random.split(self._key)
+                n_phase_iters = max(
+                    1, window.dirs.shape[1] // self.cfg.mapper.rays_per_kf
+                )
+            for it in range(n_phase_iters):
+                if window_key is None:
+                    self._key, sub = jax.random.split(self._key)
+                else:
+                    sub = window_key
                 occ = jnp.asarray(
                     (self._host_step % self.cfg.mapper.occ.n_iters_acc)
                     == self.cfg.mapper.occ.n_iters_acc - 1
@@ -181,8 +224,12 @@ class OnlineMapper:
                     self.state, window, sub, flags._replace(do_occ_update=occ),
                     pose_mask, jnp.asarray(it),
                 )
+                if self.cfg.log_losses:
+                    loss_rows.append((phase_idx, it, aux))
                 n_iters += 1
         jax.block_until_ready(self.state.params)
+        if loss_rows:
+            self._write_loss_csvs(len(self.kf_manager), loss_rows)
         self.window_timer.stop(n_iters)
         dt_opt = time.time() - t_opt
         if dt_opt > 0:
@@ -194,8 +241,92 @@ class OnlineMapper:
                 opt_T = np.asarray(se3.pose_to_matrix(jnp.asarray(poses_np[k.pose_index])))
                 cb(k.timestamp, k.tracked_pose, opt_T)
 
+        self._maybe_checkpoint()
         self.map_times.append(time.time() - t0)
         return True
+
+    # ------------------------------------------------------------------
+    _LOSS_COLS = (
+        "loss", "depth_mse", "los_loss", "opacity_loss", "depth_eps", "js_mean",
+    )
+
+    def _write_loss_csvs(self, kf_index: int, rows):
+        """Per-keyframe, per-phase loss CSVs (reference debug log_losses,
+        ``src/mapping/optimizer.py:496-508``). Device scalars are pulled
+        once per window, after block_until_ready."""
+        import os
+        from collections import defaultdict
+
+        base = self.cfg.loss_log_dir or "losses"
+        d = os.path.join(base, f"keyframe_{kf_index}")
+        os.makedirs(d, exist_ok=True)
+        by_phase = defaultdict(list)
+        for phase_idx, it, aux in rows:
+            vals = [it] + [float(aux.get(c, float("nan"))) for c in self._LOSS_COLS]
+            by_phase[phase_idx].append(vals)
+        for phase_idx, vals in by_phase.items():
+            np.savetxt(
+                os.path.join(d, f"phase_{phase_idx}.csv"),
+                np.asarray(vals),
+                delimiter=",",
+                header="iteration," + ",".join(self._LOSS_COLS),
+                comments="",
+            )
+
+    def _ckpt_interval(self) -> Optional[int]:
+        return {"VERBOSE": 1, "STANDARD": 10}.get(self.cfg.log_level.upper())
+
+    def _maybe_checkpoint(self):
+        """Per-keyframe checkpoint cadence (reference mapper.py:110-119):
+        pose states every keyframe, a full state checkpoint every
+        ``log_level`` interval."""
+        d = self.cfg.checkpoint_dir
+        if not d:
+            return
+        interval = self._ckpt_interval()
+        if interval is None:  # DISABLED
+            return
+        self.write_pose_states(d)
+        if len(self.kf_manager) % interval == 0:
+            self.save_checkpoint(d)
+
+    def write_pose_states(self, directory: str):
+        """Dump per-keyframe pose states (timestamp, tracked, optimized, gt)
+        as one npz — the reference's poses-only checkpoint content
+        (``src/mapping/keyframe.py:130-138``)."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        kfs = self.kf_manager.keyframes
+        poses_np = np.asarray(self.state.poses)
+        opt = np.stack(
+            [
+                np.asarray(se3.pose_to_matrix(jnp.asarray(poses_np[k.pose_index])))
+                for k in kfs
+            ]
+        ) if kfs else np.zeros((0, 4, 4))
+        np.savez(
+            os.path.join(directory, "kf_poses.npz"),
+            timestamps=np.asarray([k.timestamp for k in kfs]),
+            tracked=np.stack([k.tracked_pose for k in kfs]) if kfs else np.zeros((0, 4, 4)),
+            optimized=opt,
+            has_gt=np.asarray([k.gt_pose is not None for k in kfs]),
+            gt=np.stack(
+                [k.gt_pose if k.gt_pose is not None else np.eye(4) for k in kfs]
+            ) if kfs else np.zeros((0, 4, 4)),
+        )
+
+    def save_checkpoint(self, directory: str) -> str:
+        """Full mapper-state checkpoint under ``directory/ckpt_<step>``."""
+        from loner_tpu.runtime.checkpoints import save_checkpoint
+
+        return save_checkpoint(directory, int(self._host_step), self.state)
+
+    def save_final(self, directory: str) -> str:
+        """The reference always writes a final full checkpoint at shutdown
+        (``src/mapping/mapper.py:177-180``), regardless of log_level."""
+        self.write_pose_states(directory)
+        return self.save_checkpoint(directory)
 
     def optimized_pose(self, kf: KeyFrame) -> np.ndarray:
         return np.asarray(

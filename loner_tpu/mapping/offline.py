@@ -140,7 +140,8 @@ def optimize_implicit_map(
     )
     state = state._replace(poses=state.poses.at[: len(keyframes)].set(jnp.asarray(pose6)))
 
-    train_step = make_train_step(cfg, cube)
+    # result.state is threaded linearly through the loop -> donation safe
+    train_step = make_train_step(cfg, cube, donate=True)
     flags = TrainStepFlags(
         freeze_sigma=jnp.asarray(False),
         freeze_rgb=jnp.asarray(True),

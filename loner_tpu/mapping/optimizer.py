@@ -22,7 +22,7 @@ Divergences from the reference (deliberate):
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -58,7 +58,12 @@ class MapperConfig(NamedTuple):
     n_samples_test: int = 2048
     perturb: float = 1.0
     samples_strategy: str = "OGM"  # OGM | UNIFORM
-    rays_strategy: str = "RANDOM"  # RANDOM | MASK (75% trunk-band, FDT)
+    # RANDOM = uniform draw per iteration; MASK = 75% trunk-band (FDT);
+    # FIXED = one shuffle per window, sequential slices per iteration — an
+    # epoch over every scan point (reference optimizer.py:269-346; the
+    # caller must hold the step key constant across the window and let
+    # ``iteration`` advance — see OnlineMapper)
+    rays_strategy: str = "RANDOM"
     mask_band_fraction: float = 0.75
 
     lr_sigma: float = 0.01
@@ -150,6 +155,7 @@ def build_window_rays(
     cube,
     cfg: MapperConfig,
     key: jax.Array,
+    iteration: jnp.ndarray = 0,  # scalar; drives FIXED's sequential slices
 ) -> RayBundle:
     """Sample rays_per_kf lidar + sky_rays_per_kf sky rays from every
     keyframe in the window and build one flat RayBundle of static size
@@ -167,7 +173,16 @@ def build_window_rays(
 
     def one_kf(pose6, dirs, dists, pvalid, sky_dirs, sky_valid, band, k):
         k1, k2 = jax.random.split(k)
-        idx = jax.random.randint(k1, (cfg.rays_per_kf,), 0, p)
+        if cfg.rays_strategy == "FIXED":
+            # fixed shuffle per window (the key is held constant across the
+            # window's iterations), sequential slice per iteration
+            it = jnp.asarray(iteration).astype(jnp.int32)
+            perm = jax.random.permutation(k1, p)
+            start = (it * cfg.rays_per_kf) % p
+            idx = perm[(start + jnp.arange(cfg.rays_per_kf)) % p]
+            k2 = jax.random.fold_in(k2, it)
+        else:
+            idx = jax.random.randint(k1, (cfg.rays_per_kf,), 0, p)
         if cfg.rays_strategy == "MASK":
             # 75% of rays drawn from the trunk band (uniform over the
             # band-index array == band sampling), the rest uniform
@@ -212,8 +227,11 @@ class TrainStepFlags(NamedTuple):
     do_occ_update: jnp.ndarray  # scalar bool
 
 
-def make_train_step(cfg: MapperConfig, cube):
-    """Build the jitted train step. ``cube`` is the WorldCube (static)."""
+def make_train_step_body(cfg: MapperConfig, cube):
+    """The un-jitted train-step body:
+    ``body(pose_grads, state, window, key, flags, pose_mask, iteration)``.
+    Exposed so wrappers can transform it (``make_train_step`` jits it;
+    ``parallel/submaps_parallel`` vmaps it over a submap axis)."""
     tx_sigma, tx_intensity, tx_poses, tx_occ = make_optimizers(cfg)
     scale = cfg.world_scale
     # keep the fused encoder's slot-strided backward in sync with the actual
@@ -224,8 +242,14 @@ def make_train_step(cfg: MapperConfig, cube):
         )
 
     def _forward(params, poses, occ_grid, window, key, iteration, global_step):
-        k_rays, k_samp = jax.random.split(key)
-        bundle = build_window_rays(poses, window, cube, cfg, k_rays)
+        k_rays, k_samp, k_enc = jax.random.split(key, 3)
+        if cfg.rays_strategy == "FIXED":
+            # the caller holds the key constant across the window so the ray
+            # shuffle is fixed; sampler/encoder draws must still vary per it
+            it32 = jnp.asarray(iteration).astype(jnp.int32)
+            k_samp = jax.random.fold_in(k_samp, it32)
+            k_enc = jax.random.fold_in(k_enc, it32)
+        bundle = build_window_rays(poses, window, cube, cfg, k_rays, iteration)
 
         if cfg.samples_strategy == "OGM":
             z_vals = sampling.occ_grid_sampler_z_vals(
@@ -236,7 +260,9 @@ def make_train_step(cfg: MapperConfig, cube):
                 k_samp, bundle, cfg.n_samples_train, cfg.perturb
             )
 
-        render = render_rays(params, bundle, z_vals, cfg.nerf, sigma_only=True)
+        render = render_rays(
+            params, bundle, z_vals, cfg.nerf, sigma_only=True, key=k_enc
+        )
         loss, aux = compute_lidar_loss(
             render, bundle, scale, cfg.loss, global_step, iteration
         )
@@ -356,8 +382,30 @@ def make_train_step(cfg: MapperConfig, cube):
         aux["finite"] = finite
         return new_state, aux
 
-    step_posed = jax.jit(partial(_train_step, True), donate_argnums=(0,))
-    step_frozen = jax.jit(partial(_train_step, False), donate_argnums=(0,))
+    return _train_step
+
+
+def make_train_step(cfg: MapperConfig, cube, donate: bool = False, out_shardings=None):
+    """Build the jitted train step. ``cube`` is the WorldCube (static).
+
+    ``donate``: donate the input state's buffers to the output (halves HBM
+    for the big table/moment arrays). Only safe when the caller threads the
+    state linearly (``state = step(state, ...)``) and never touches the old
+    state afterwards — the online mapper and bench do; tests and the
+    multichip dryrun (which reuse a state across step variants) must not.
+
+    ``out_shardings``: optional (state_shardings, aux_sharding) pair pinning
+    the output placement, so a DP/TP wrapper's per-call ``device_put`` is a
+    no-op after the first step instead of a re-replication every iteration.
+    """
+    _train_step = make_train_step_body(cfg, cube)
+    jit_kwargs = {}
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+    if out_shardings is not None:
+        jit_kwargs["out_shardings"] = out_shardings
+    step_posed = jax.jit(partial(_train_step, True), **jit_kwargs)
+    step_frozen = jax.jit(partial(_train_step, False), **jit_kwargs)
 
     def train_step(state, window, key, flags, pose_mask, iteration):
         # freeze_poses picks the compiled variant (host-side, static); the
@@ -369,9 +417,20 @@ def make_train_step(cfg: MapperConfig, cube):
     return train_step
 
 
-def make_render_fn(cfg: MapperConfig, test: bool = True):
+@lru_cache(maxsize=32)
+def make_render_fn(
+    cfg: MapperConfig,
+    test: bool = True,
+    sigma_only: bool = True,
+    render_strategy: str = "default",
+):
     """A jitted depth/render evaluation on a fixed-size ray bundle (the
-    reference's ``Model.forward(testing=True)`` role for eval/analysis)."""
+    reference's ``Model.forward(testing=True)`` role for eval/analysis).
+    ``sigma_only=False`` also evaluates the intensity branch (RGB output).
+
+    Cached per config: eval loops (L1 depth, renderers) call this every
+    invocation; rebuilding would discard the jit cache entry each time.
+    """
 
     n_samples = cfg.n_samples_test if test else cfg.n_samples_train
 
@@ -381,6 +440,13 @@ def make_render_fn(cfg: MapperConfig, test: bool = True):
             z_vals = sampling.occ_grid_sampler_z_vals(key, bundle, occ_grid, n_samples, perturb=0.0)
         else:
             z_vals = sampling.uniform_sampler_z_vals(key, bundle, n_samples, perturb=0.0)
-        return render_rays(params, bundle, z_vals, cfg.nerf, sigma_only=True)
+        return render_rays(
+            params,
+            bundle,
+            z_vals,
+            cfg.nerf,
+            sigma_only=sigma_only,
+            render_strategy=render_strategy,
+        )
 
     return render_fn

@@ -157,24 +157,32 @@ def _sanitize_sigma(sigma: jnp.ndarray) -> jnp.ndarray:
 
 
 def _encode_t(
-    cfg: "NeRFConfig", table, pos_t, enc_cfg: HashEncodingConfig
+    cfg: "NeRFConfig",
+    table,
+    pos_t,
+    enc_cfg: HashEncodingConfig,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
+    """``key`` drives the stochastic slot-rotation draw of the strided
+    table backward; when None the encoder falls back to hashing coordinate
+    mantissa bits (fragile with deterministic z-vals — training paths must
+    plumb the step key through)."""
     impl = cfg.encoding_impl
     if impl == "triad":
         from loner_tpu.ops.triad_field import triad_encode_t
 
         return triad_encode_t(
-            table, pos_t, cfg._triad_for(enc_cfg), None, cfg.encoding_slot_period
+            table, pos_t, cfg._triad_for(enc_cfg), key, cfg.encoding_slot_period
         )
     if impl == "fused":
         from loner_tpu.ops.fused_encoder import fused_hash_encode_t
 
-        return fused_hash_encode_t(table, pos_t, fused_config_from(cfg, enc_cfg), None)
+        return fused_hash_encode_t(table, pos_t, fused_config_from(cfg, enc_cfg), key)
     if impl == "cell":
         from loner_tpu.ops.cell_hash import cell_hash_encode_t
 
         bwd = "level1" if cfg.encoding_bwd in ("level1", "strided") else "exact"
-        return cell_hash_encode_t(table, pos_t, cell_config_from(enc_cfg, bwd), None)
+        return cell_hash_encode_t(table, pos_t, cell_config_from(enc_cfg, bwd), key)
     if impl == "packed":
         from loner_tpu.ops.hash_encode_fast import hash_encode_packed_t
 
@@ -182,10 +190,15 @@ def _encode_t(
     return hash_encode_t(table, pos_t, enc_cfg)
 
 
-def query_sigma_t(params: dict, pts_cube_t: jnp.ndarray, cfg: NeRFConfig) -> jnp.ndarray:
+def query_sigma_t(
+    params: dict,
+    pts_cube_t: jnp.ndarray,
+    cfg: NeRFConfig,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
     """pts_cube_t: (3, N) in [-1,1], point axis minor -> sigma logits (N,)."""
     pos = (pts_cube_t + 1.0) / 2.0
-    h = _encode_t(cfg, params["sigma"]["table"], pos, cfg.pos_encoding_sigma)
+    h = _encode_t(cfg, params["sigma"]["table"], pos, cfg.pos_encoding_sigma, key)
     sigma = mlp_apply_t(params["sigma"]["mlp"], h, cfg.sigma_mlp_config())  # (1, N)
     return _sanitize_sigma(sigma[0])
 
@@ -202,20 +215,24 @@ def query_nerf_t(
     cfg: NeRFConfig,
     sigma_only: bool = False,
     detach_sigma: bool = True,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Transposed query: (1, N) sigma if sigma_only else (num_colors+1, N)
     rows [color..., sigma]."""
     sigma_params = params
     if detach_sigma and not sigma_only:
         sigma_params = jax.lax.stop_gradient(params)
-    sigma = query_sigma_t(sigma_params, pts_cube_t, cfg)  # (N,)
+    sigma = query_sigma_t(sigma_params, pts_cube_t, cfg, key)  # (N,)
     if detach_sigma and not sigma_only:
         sigma = jax.lax.stop_gradient(sigma)
     if sigma_only:
         return sigma[None, :]
 
     pos = (pts_cube_t + 1.0) / 2.0
-    h_x = _encode_t(cfg, params["intensity"]["table"], pos, cfg.pos_encoding_intensity)
+    key_i = None if key is None else jax.random.fold_in(key, 1)
+    h_x = _encode_t(
+        cfg, params["intensity"]["table"], pos, cfg.pos_encoding_intensity, key_i
+    )
     if cfg.enable_view_dependence:
         h_d = sh_encode_t(viewdirs_t.T, cfg.sh_degree)
         h_x = jnp.concatenate([h_x, h_d], axis=0)
@@ -232,7 +249,8 @@ def query_nerf(
     cfg: NeRFConfig,
     sigma_only: bool = False,
     detach_sigma: bool = True,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Untransposed wrapper: (N, 3) [+ dirs] -> (N, 1) or (N, num_colors+1)."""
     vt = None if viewdirs is None else viewdirs.T
-    return query_nerf_t(params, pts_cube.T, vt, cfg, sigma_only, detach_sigma).T
+    return query_nerf_t(params, pts_cube.T, vt, cfg, sigma_only, detach_sigma, key).T

@@ -106,22 +106,95 @@ def composite_peak_adjusted(
     sigma_only: bool = False,
     num_colors: int = 3,
     termination_threshold: float = 0.5,
+    prominence_threshold_max: float = 0.45,
+    prominence_threshold_min: float = 0.35,
 ):
     """FDT's "adjusted" strategy (``raw2outputs_adjusted``,
-    ``src/models/rendering_tcnn.py:70-214``): for foliage-like multi-return
-    ambiguity, take depth at the first sample where accumulated termination
-    probability crosses ``termination_threshold`` instead of the full
-    expectation; falls back to expected depth for rays that never cross.
+    ``src/models/rendering_tcnn.py:70-214``), for foliage-like multi-return
+    ambiguity:
+
+      * depth = z at the first sample where transmittance T drops below 0.5;
+        rays that never cross are invalid (depth 0).
+      * the T profile is discretized at thresholds 0.9/0.8/0.7/0.6/0.501;
+        the distances between consecutive crossing depths ("rise deltas",
+        normalized by the 0.501 depth) measure how sharply termination
+        probability rises. The segment with the SMALLEST normalized delta is
+        the steepest peak.
+      * isolation test: if the two steepest segments are adjacent in
+        threshold space (|i2-i1| == 1) the peak is broad -> RESAMPLE the
+        depth at the steepest segment's crossing; if they are maximally
+        separated (== 3) the profile is multi-peaked -> DROP the ray.
+      * prominence test: m1/|m1+m2| > 0.45 -> resample at the steepest
+        crossing; m1/mean < 0.35 -> drop.
+
+    T is monotone non-increasing, so each threshold has at most one
+    crossing — the dynamic ``nonzero`` bookkeeping of the reference becomes
+    a static argmax per ray. (The reference's in-place writes through
+    chained advanced indexing are silent no-ops in torch — a defect; this
+    implements the documented intent, applied in the same order so later
+    rules win.)
     """
-    rgb, exp_depth, weights, opacity, variance = composite_t(
+    rgb, exp_depth, weights, opacity, _ = composite_t(
         raw_t, z_vals, rays_d, far, sigma_only, num_colors
     )
-    cum_w = jnp.cumsum(weights, axis=-1)
-    crossed = cum_w >= termination_threshold
-    any_crossed = jnp.any(crossed, axis=-1)
-    first_idx = jnp.argmax(crossed, axis=-1)
-    peak_depth = jnp.take_along_axis(z_vals, first_idx[:, None], axis=-1)[:, 0]
-    depth = jnp.where(any_crossed, peak_depth, exp_depth)
+
+    # transmittance BEFORE each sample (T in the reference), (N, S)
+    sigmas = raw_t[0] if sigma_only else raw_t[num_colors]
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    deltas = jnp.concatenate([deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1)
+    d_norm = jnp.sqrt(jnp.sum(rays_d * rays_d, axis=-1, keepdims=True) + 1e-20)
+    alphas = 1.0 - jnp.exp(-deltas * d_norm * jax.nn.relu(sigmas))
+    T = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], axis=-1),
+        axis=-1,
+    )[:, :-1]
+    T_shifted = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], axis=-1)
+
+    def crossing(th):
+        """(depth, sample index, crossed?) of the unique T-crossing of th."""
+        mask = jnp.logical_and(jnp.logical_not(T > th), T_shifted > th)
+        any_c = jnp.any(mask, axis=-1)
+        idx = jnp.argmax(mask, axis=-1)
+        d = jnp.take_along_axis(z_vals, idx[:, None], axis=-1)[:, 0]
+        return jnp.where(any_c, d, 0.0), idx, any_c
+
+    depth_term, _, valid = crossing(termination_threshold)
+
+    ths = (0.9, 0.8, 0.7, 0.6, 0.501)
+    cross = [crossing(th) for th in ths]
+    d_th = jnp.stack([c[0] for c in cross])  # (5, N)
+    i_th = jnp.stack([c[1] for c in cross])  # (5, N)
+
+    rise = d_th[1:] - d_th[:-1]  # (4, N)
+    norm_rise = rise / (d_th[-1] + 1e-10)
+
+    # the two steepest (smallest normalized) segments
+    order = jnp.argsort(norm_rise, axis=0)  # ascending
+    i1, i2 = order[0], order[1]  # (N,)
+    m1 = jnp.take_along_axis(norm_rise, i1[None], axis=0)[0]
+    m2 = jnp.take_along_axis(norm_rise, i2[None], axis=0)[0]
+
+    # crossing sample at the steepest segment's upper threshold
+    steep_idx = jnp.take_along_axis(i_th, i1[None], axis=0)[0]  # (N,)
+    steep_depth = jnp.take_along_axis(z_vals, steep_idx[:, None], axis=-1)[:, 0]
+
+    # NOTE: 0/0 = NaN and NaN comparisons are False, exactly like torch —
+    # a perfectly sharp wall (all-zero rise deltas) is neither resampled
+    # nor dropped. Do not add epsilons here.
+    iso = jnp.abs(i2 - i1)
+    resample = jnp.logical_or(
+        iso == 1, m1 / jnp.abs(m1 + m2) > prominence_threshold_max
+    )
+    drop = jnp.logical_or(
+        iso == 3, m1 / jnp.mean(norm_rise, axis=0) < prominence_threshold_min
+    )
+
+    depth = depth_term
+    depth = jnp.where(jnp.logical_and(valid, resample), steep_depth, depth)
+    depth = jnp.where(jnp.logical_and(valid, drop), 0.0, depth)  # drop wins
+    depth = jnp.where(valid, depth, 0.0)
+
+    variance = jnp.sum(weights * (depth[:, None] - z_vals) ** 2, axis=-1)
     return rgb, depth, weights, opacity, variance
 
 
@@ -161,12 +234,14 @@ def render_rays(
     render_strategy: str = "default",
     point_chunks: int = 4,
     remat_chunks: bool = False,
+    key: Optional[jnp.ndarray] = None,
 ) -> RenderResult:
     """Evaluate the field at o + d*z and composite.
 
     The reference's ``render_rays`` (``src/models/rendering_tcnn.py:340-425``)
-    with the sampler factored out (samplers need RNG keys; keeping them
-    outside makes this function a pure deterministic map).
+    with the sampler factored out. The forward is deterministic; ``key``
+    only seeds the encoder's stochastic table-gradient slot rotation
+    (training steps must pass it — see NeRFConfig.encoding_bwd).
     """
     n, s = z_vals.shape
     # transposed points (3, N, S): component axis leading, point axes minor
@@ -175,14 +250,23 @@ def render_rays(
     flat_pts_t = pts_t.reshape(3, n * s)
     if sigma_only:
         sig_flat = _apply_point_chunks_t(
-            lambda p: query_sigma_t(params, p, cfg), flat_pts_t, point_chunks, remat_chunks
+            lambda p: query_sigma_t(params, p, cfg, key),
+            flat_pts_t,
+            point_chunks,
+            remat_chunks,
         )  # (n*s,)
         raw_t = sig_flat.reshape(1, n, s)
     else:
         flat_dirs_t = jnp.repeat(bundle.viewdirs.T[:, :, None], s, axis=2).reshape(3, n * s)
         raw_t = _apply_point_chunks_t(
             lambda args: query_nerf_t(
-                params, args[0], args[1], cfg, sigma_only=False, detach_sigma=detach_sigma
+                params,
+                args[0],
+                args[1],
+                cfg,
+                sigma_only=False,
+                detach_sigma=detach_sigma,
+                key=key,
             ),
             (flat_pts_t, flat_dirs_t),
             point_chunks,

@@ -205,10 +205,11 @@ def solve_pose_graph(
         Hd = Hd + damping * jnp.eye(6 * k)
         delta = jnp.linalg.solve(Hd, -bd).reshape(k, 6)
 
-        # right-perturbation update: T <- T * exp(delta)
-        T = se3.pose_to_matrix(poses)
-        dT = se3.pose_to_matrix(delta)
-        return se3.matrix_to_pose(T @ dT), cost
+        # direct parameter update: the Jacobians are w.r.t. the raw se3
+        # 6-vectors (jacfwd over pose_to_matrix), so the GN step lives in
+        # that chart — a right-perturbation retraction here would mismatch
+        # the Jacobian and can diverge on loopy graphs
+        return poses + delta, cost
 
     @jax.jit
     def run(poses):

@@ -37,14 +37,28 @@ def shard_window(window, mesh: Mesh, axis: str = "data"):
     return jax.device_put(window, NamedSharding(mesh, P(axis)))
 
 
-def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data"):
-    """Wrap a train step so inputs are placed with DP shardings before the
-    call. The step itself is already jitted; XLA partitions it according to
-    the argument shardings and all-reduces parameter gradients over ICI."""
+def make_sharded_train_step(cfg, cube, mesh: Mesh, axis: str = "data", donate: bool = False):
+    """Build a DP train step: state replicated, the window's keyframe axis
+    sharded over ``axis``. XLA partitions the jitted step according to the
+    argument shardings and all-reduces parameter gradients over ICI.
+
+    Output shardings are pinned to the input shardings, so the per-call
+    ``device_put`` is a placement no-op from the second step on — the state
+    stays resident on the mesh and only the (small) window re-ships.
+    """
+    from loner_tpu.mapping.optimizer import make_train_step
+
+    repl = NamedSharding(mesh, P())
+    win_s = NamedSharding(mesh, P(axis))
+    n_mesh = int(np.prod(mesh.devices.shape))
+    step = make_train_step(cfg, cube, donate=donate, out_shardings=(repl, repl))
 
     def sharded_step(state, window, key, flags, pose_mask, iteration):
-        state = replicate_to_mesh(state, mesh)
-        window = shard_window(window, mesh, axis)
-        return train_step(state, window, key, flags, pose_mask, iteration)
+        state = jax.device_put(state, repl)  # no-op once placed
+        # early windows may hold fewer keyframes than the mesh is wide;
+        # replicate those instead of failing the divisibility check
+        w = jax.tree.leaves(window)[0].shape[0]
+        window = jax.device_put(window, win_s if w % n_mesh == 0 else repl)
+        return step(state, window, key, flags, pose_mask, iteration)
 
     return sharded_step

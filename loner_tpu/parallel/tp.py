@@ -72,14 +72,30 @@ def shard_window(window, mesh: Mesh):
     return jax.device_put(window, NamedSharding(mesh, P("data")))
 
 
-def make_tp_train_step(train_step, mesh: Mesh):
-    """Place inputs with DP x TP shardings; XLA partitions the (already
-    jitted) step: masked local gathers + all-reduce over "model" for the
-    encoding, grad psum over "data" for replicated params."""
+def make_tp_train_step(cfg, cube, mesh: Mesh, donate: bool = False):
+    """Build a DP x TP train step: hash-table leaves (and their Adam
+    moments) sharded over "model", rays over "data". XLA partitions the
+    jitted step: masked local gathers + all-reduce over "model" for the
+    encoding, grad psum over "data" for replicated params.
+
+    Output shardings are pinned to the input shardings so the per-call
+    ``device_put`` is a no-op from the second step on.
+    """
+    import jax.random
+
+    from loner_tpu.mapping.optimizer import init_mapper_state, make_train_step
+
+    state_shape = jax.eval_shape(
+        lambda k: init_mapper_state(k, cfg), jax.random.PRNGKey(0)
+    )
+    state_s = mapper_state_shardings(state_shape, mesh)
+    repl = NamedSharding(mesh, P())
+    win_s = NamedSharding(mesh, P("data"))
+    step = make_train_step(cfg, cube, donate=donate, out_shardings=(state_s, repl))
 
     def sharded_step(state, window, key, flags, pose_mask, iteration):
-        state = shard_mapper_state(state, mesh)
-        window = shard_window(window, mesh)
-        return train_step(state, window, key, flags, pose_mask, iteration)
+        state = jax.device_put(state, state_s)  # no-op once placed
+        window = jax.device_put(window, win_s)
+        return step(state, window, key, flags, pose_mask, iteration)
 
     return sharded_step

@@ -50,6 +50,10 @@ class _TrackedFrame:
     timestamp: float
     tracked_pose: np.ndarray  # (4,4)
     gt_pose: Optional[np.ndarray] = None
+    # causal estimate captured when the frame arrived (only keyframe
+    # corrections known at that moment) — what the reference's logger writes
+    # to online_estimates.txt (default_logger.py:83-115)
+    online_pose: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -69,7 +73,15 @@ class TrajectoryLogger:
         self.keyframes: Dict[float, _KeyFrameRecord] = {}
 
     def log_frame(self, timestamp: float, tracked_pose: np.ndarray, gt_pose=None):
-        self.frames.append(_TrackedFrame(timestamp, np.asarray(tracked_pose), gt_pose))
+        tracked_pose = np.asarray(tracked_pose)
+        self.frames.append(
+            _TrackedFrame(
+                timestamp,
+                tracked_pose,
+                gt_pose,
+                online_pose=self.online_estimate(timestamp, tracked_pose),
+            )
+        )
 
     def update_keyframe(self, timestamp: float, tracked_pose: np.ndarray, optimized_pose: np.ndarray):
         """Record (or refresh) a keyframe's optimized pose; called whenever
@@ -100,7 +112,17 @@ class TrajectoryLogger:
         if len(ts):
             dump_tum(np.stack([f.tracked_pose for f in self.frames]), ts, os.path.join(out_dir, "tracking_only.txt"))
             dump_tum(self.reconstruct_trajectory(), ts, os.path.join(out_dir, "estimated_trajectory.txt"))
-            dump_tum(self.reconstruct_trajectory(), ts, os.path.join(out_dir, "online_estimates.txt"))
+            # causal per-frame estimates, NOT the final re-anchored poses
+            dump_tum(
+                np.stack(
+                    [
+                        f.online_pose if f.online_pose is not None else f.tracked_pose
+                        for f in self.frames
+                    ]
+                ),
+                ts,
+                os.path.join(out_dir, "online_estimates.txt"),
+            )
         if self.keyframes:
             kts = np.array(sorted(self.keyframes))
             kposes = np.stack([self.keyframes[t].optimized_pose for t in kts])

@@ -37,12 +37,38 @@ class SlamConfig:
     # (reference synchronization.max_time_delta; tracker.py:86-88)
     max_time_delta: float = 3.0
     use_groundtruth_poses: bool = False  # debug flag analog
+    # pose-graph BA over keyframes at finish (loop closures from ICP scan
+    # re-alignment; no reference analog — north-star capability)
+    loop_closure: "LoopClosureConfig" = None  # set in __post_init__
+    # tracker and mapper as two concurrent programs on DISJOINT devices
+    # (PP axis): tracker pinned to device 0, mapper DP over the rest
+    concurrent_device_split: bool = False
+
+    def __post_init__(self):
+        if self.loop_closure is None:
+            from loner_tpu.mapping.loop_closure import LoopClosureConfig
+
+            self.loop_closure = LoopClosureConfig()
 
 
 class LonerSLAM:
-    def __init__(self, cfg: SlamConfig, cube: WorldCube):
+    def __init__(self, cfg: SlamConfig, cube: WorldCube, out_dir: Optional[str] = None):
         self.cfg = cfg
         self.cube = cube
+        self.out_dir = out_dir
+        if out_dir and cfg.mapper.checkpoint_dir is None:
+            cfg.mapper.checkpoint_dir = os.path.join(out_dir, "checkpoints")
+        if out_dir and cfg.mapper.loss_log_dir is None:
+            cfg.mapper.loss_log_dir = os.path.join(out_dir, "losses")
+        if cfg.concurrent_device_split:
+            import jax
+
+            n = len(jax.devices())
+            if n >= 2:
+                cfg.tracker.device_index = 0
+                w = cfg.mapper.mapper.window_size
+                m = max(d for d in range(1, n) if w % d == 0 or d == 1)
+                cfg.mapper.mesh_device_indices = list(range(1, 1 + m))
         self.tracker = Tracker(cfg.tracker)
         self.frame_synthesis = FrameSynthesis(cfg.frame_synthesis)
         self.mapper = OnlineMapper(cfg.mapper, cube)
@@ -98,6 +124,18 @@ class LonerSLAM:
         result = self.tracker.track(scan, timestamp)
         self.logger.log_frame(timestamp, result.pose, gt_pose)
 
+        # tracker-side sky segmentation feeds transparent supervision rays
+        # (reference tracker.py:257-296) unless the caller provided its own
+        if sky is None and result.sky_dirs is not None and len(result.sky_dirs):
+            from loner_tpu.data.scan import sky_scan
+
+            sky = sky_scan(
+                result.sky_dirs,
+                self.cfg.mapper.mapper.ray_range[1] + 1.0,
+                timestamp,
+                pad_to=self.cfg.mapper.n_sky_pad,
+            )
+
         if self.cfg.single_threaded:
             self._map_frame(result.scan, timestamp, result.pose, gt_pose, sky)
         else:
@@ -120,8 +158,47 @@ class LonerSLAM:
             self._worker.join(timeout=600)
         if self._worker_error is not None:
             raise self._worker_error
+
+        # pose-graph BA over keyframes: ICP loop closures + odometry factors
+        # + weak priors on the mapper's poses; corrected poses flow to the
+        # mapper state and the trajectory logger before finish()
+        self.ba_info = None
+        kfs = self.mapper.kf_manager.keyframes
+        if self.cfg.loop_closure.enabled and len(kfs) >= 3:
+            import jax.numpy as jnp
+
+            from loner_tpu.geometry import se3
+            from loner_tpu.mapping.loop_closure import refine_keyframe_poses
+
+            poses_np = np.asarray(self.mapper.state.poses)
+            opt = np.stack(
+                [
+                    np.asarray(
+                        se3.pose_to_matrix(jnp.asarray(poses_np[k.pose_index]))
+                    )
+                    for k in kfs
+                ]
+            )
+            refined, self.ba_info = refine_keyframe_poses(
+                kfs, opt, self.cfg.loop_closure
+            )
+            pose6 = jnp.stack(
+                [se3.matrix_to_pose(jnp.asarray(T, jnp.float32)) for T in refined]
+            )
+            idx = jnp.asarray([k.pose_index for k in kfs])
+            self.mapper.state = self.mapper.state._replace(
+                poses=self.mapper.state.poses.at[idx].set(pose6)
+            )
+            for k, T in zip(kfs, refined):
+                self.logger.update_keyframe(k.timestamp, k.tracked_pose, T)
+
+        out_dir = out_dir or self.out_dir
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
+            # final full checkpoint, always (reference mapper.py:177-180) —
+            # downstream tools (render_map, compute_metrics, sim) boot from it
+            if len(self.mapper.kf_manager):
+                self.mapper.save_final(os.path.join(out_dir, "checkpoints"))
             self.logger.finish(os.path.join(out_dir, "trajectory"))
             np.savetxt(
                 os.path.join(out_dir, "track_times.csv"),

@@ -33,6 +33,16 @@ class TrackerConfig:
     scan_duration: float = 0.9  # ICP uses the first fraction of the sweep
     target_points: int = 4096  # uniform downsample budget (static shape)
     motion_compensation: bool = True
+    # sky segmentation (reference tracker.py:257-296): emit synthetic sky
+    # directions from empty upper-hemisphere cells of the spherical
+    # projection; the SLAM loop turns them into transparent supervision rays
+    sky_segmentation: bool = False
+    sky_max_rays: int = 1024
+    sky_min_elevation_deg: float = 5.0
+    # pin the tracker's device programs (ICP, motion comp) to one device so
+    # tracking and mapping run as two concurrent programs on DISJOINT
+    # devices (the PP axis; reference = two processes on one GPU)
+    device_index: Optional[int] = None
 
 
 @dataclass
@@ -42,6 +52,7 @@ class TrackResult:
     rmse: float
     fitness: float
     wall_time_s: float
+    sky_dirs: Optional[np.ndarray] = None  # (M, 3) sensor-frame sky dirs
 
 
 class Tracker:
@@ -52,6 +63,14 @@ class Tracker:
         self._prev_pose: Optional[np.ndarray] = None
         self._prev_time: Optional[float] = None
         self.track_times: List[float] = []
+        self._device = (
+            jax.devices()[cfg.device_index] if cfg.device_index is not None else None
+        )
+
+    def _put(self, x):
+        """Pin device arrays to the tracker's device (computation follows
+        its arguments, so ICP/motion-comp dispatch there)."""
+        return jax.device_put(x, self._device) if self._device is not None else x
 
     def _extract_cloud(self, scan: LidarScan) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Middle scan fraction -> uniform stride downsample to a fixed
@@ -73,7 +92,7 @@ class Tracker:
         v = np.concatenate([np.ones(len(idx), bool), np.zeros(pad, bool)])
         if pad:
             pts = np.concatenate([pts, np.zeros((pad, 3), pts.dtype)])
-        return jnp.asarray(pts, jnp.float32), jnp.asarray(v)
+        return self._put(jnp.asarray(pts, jnp.float32)), self._put(jnp.asarray(v))
 
     def track(self, frame_scan: LidarScan, timestamp: float) -> TrackResult:
         t0 = time.time()
@@ -95,9 +114,9 @@ class Tracker:
         scan = frame_scan
         if self.cfg.motion_compensation and self._prev_pose is not None:
             new_dirs, new_dists = motion_compensate(
-                frame_scan.ray_directions,
-                frame_scan.distances,
-                frame_scan.timestamps,
+                self._put(frame_scan.ray_directions),
+                self._put(frame_scan.distances),
+                self._put(frame_scan.timestamps),
                 jnp.asarray(self._prev_pose, jnp.float32),
                 jnp.asarray(pose, jnp.float32),
                 jnp.asarray(self._prev_time, jnp.float32),
@@ -111,6 +130,20 @@ class Tracker:
         self._prev_pose = pose
         self._prev_time = timestamp
 
+        sky_dirs = None
+        if self.cfg.sky_segmentation:
+            from loner_tpu.tracking.sky import extract_sky_directions
+
+            sky_dirs = extract_sky_directions(
+                np.asarray(scan.ray_directions),
+                np.asarray(scan.valid),
+                min_elevation_deg=self.cfg.sky_min_elevation_deg,
+                max_rays=self.cfg.sky_max_rays,
+            )
+
         dt = time.time() - t0
         self.track_times.append(dt)
-        return TrackResult(pose=pose, scan=scan, rmse=rmse, fitness=fitness, wall_time_s=dt)
+        return TrackResult(
+            pose=pose, scan=scan, rmse=rmse, fitness=fitness, wall_time_s=dt,
+            sky_dirs=sky_dirs,
+        )

@@ -27,10 +27,11 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def build_problem(window_size: int):
+def build_problem(window_size: int, small: bool = False):
     """Flagship-shaped problem with window_size keyframes (rays scale with
     the window, so N devices process N/1 x the rays of the 1-device run —
-    weak scaling, the SLAM-relevant axis: more chips = bigger active window)."""
+    weak scaling, the SLAM-relevant axis: more chips = bigger active window).
+    ``small`` shrinks model + batch for CPU harness validation."""
     from loner_tpu.data import synthetic
     from loner_tpu.data.scan import make_lidar_scan, sky_scan
     from loner_tpu.geometry import se3
@@ -47,15 +48,37 @@ def build_problem(window_size: int):
         window_size=window_size,
         max_keyframes=max(512, window_size),
     )
+    if small:
+        from loner_tpu.models.hash_encoding import HashEncodingConfig
+        from loner_tpu.models.nerf import NeRFConfig
+        from loner_tpu.models.occupancy_grid import OccGridConfig
+
+        cfg = cfg._replace(
+            nerf=NeRFConfig(
+                num_colors=1,
+                pos_encoding_sigma=HashEncodingConfig(n_levels=4, log2_hashmap_size=13),
+                pos_encoding_intensity=HashEncodingConfig(n_levels=2, log2_hashmap_size=10),
+                sigma_hidden_dim=16,
+                intensity_hidden_dim=16,
+                intensity_hidden_layers=1,
+            ),
+            occ=OccGridConfig(voxel_size=16),
+            rays_per_kf=128,
+            sky_rays_per_kf=16,
+            n_samples_train=64,
+            n_samples_test=64,
+            max_keyframes=max(64, window_size),
+        )
+    n_ch, n_az, pad, spad = (8, 128, 2048, 128) if small else (32, 512, 16384, 1024)
     kfs = []
     for i, (T, t0) in enumerate(zip(poses, ts)):
         dirs, dists, stamps, hit = synthetic.simulate_scan(
-            scene, T, t0, n_channels=32, n_azimuth=512, max_range=40.0
+            scene, T, t0, n_channels=n_ch, n_azimuth=n_az, max_range=40.0
         )
-        scan = make_lidar_scan(dirs[hit], dists[hit], stamps[hit], pad_to=16384)
-        sky = sky_scan(dirs[~hit][:1024], cfg.ray_range[1] + 1.0, t0, pad_to=1024)
+        scan = make_lidar_scan(dirs[hit], dists[hit], stamps[hit], pad_to=pad)
+        sky = sky_scan(dirs[~hit][:spad], cfg.ray_range[1] + 1.0, t0, pad_to=spad)
         kfs.append(KeyFrame(scan=scan, timestamp=t0, pose_index=i, tracked_pose=T, gt_pose=T, sky=sky))
-    window = stack_window(kfs, n_sky_pad=1024)
+    window = stack_window(kfs, n_sky_pad=spad)
     pose6 = jax.jit(se3.matrix_to_pose)(jnp.asarray(np.stack(poses), jnp.float32))
     state = init_mapper_state(jax.random.PRNGKey(0), cfg)
     state = state._replace(poses=state.poses.at[: len(kfs)].set(pose6))
@@ -90,9 +113,14 @@ def main():
     ap.add_argument("--tp", type=int, default=0, help="also run DPxTP at the largest size")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--base-window", type=int, default=8)
+    ap.add_argument("--small", action="store_true", help="tiny shapes (CPU harness check)")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
-    from loner_tpu.mapping.optimizer import make_train_step
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     from loner_tpu.parallel.sharding import make_mesh, make_sharded_train_step
 
     n_avail = len(jax.devices())
@@ -105,9 +133,9 @@ def main():
     results = []
     base_rate = None
     for n in sizes:
-        cfg, cube, state, window = build_problem(args.base_window * n)
+        cfg, cube, state, window = build_problem(args.base_window * n, small=args.small)
         mesh = make_mesh(n)
-        step = make_sharded_train_step(make_train_step(cfg, cube), mesh)
+        step = make_sharded_train_step(cfg, cube, mesh, donate=True)
         rate = time_step(step, state, window, cfg, args.iters)
         rays_per_sec = rate * cfg.rays_per_window
         if base_rate is None:
@@ -128,9 +156,9 @@ def main():
         from loner_tpu.parallel.tp import make_dp_tp_mesh, make_tp_train_step
 
         n = max(sizes)
-        cfg, cube, state, window = build_problem(args.base_window * (n // args.tp))
+        cfg, cube, state, window = build_problem(args.base_window * (n // args.tp), small=args.small)
         mesh = make_dp_tp_mesh(n, tp=args.tp)
-        step = make_tp_train_step(make_train_step(cfg, cube), mesh)
+        step = make_tp_train_step(cfg, cube, mesh, donate=True)
         rate = time_step(step, state, window, cfg, args.iters)
         print(
             json.dumps(
@@ -144,6 +172,20 @@ def main():
             ),
             flush=True,
         )
+        results.append({"devices": n, "tp": args.tp, "window": cfg.window_size,
+                        "it_per_sec": round(rate, 3),
+                        "rays_per_sec": round(rate * cfg.rays_per_window)})
+
+    if args.out:
+        payload = {
+            "mode": "small (harness check)" if args.small else "flagship",
+            "platform": jax.devices()[0].platform,
+            "weak_scaling": True,
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print("wrote", args.out)
 
 
 if __name__ == "__main__":

@@ -73,3 +73,36 @@ class TestSubmapSegmentation:
         coll.save(str(tmp_path))
         back = SubmapCollection.load(str(tmp_path))
         np.testing.assert_allclose(back.middle_points, coll.middle_points)
+
+
+class TestTrajectoryExtraction:
+    """Pure cores of the bag GT/odometry extraction
+    (reference rosbag_utils/extract_trajectories.py)."""
+
+    def test_poses_from_stamped_quats_sorts_and_converts(self):
+        from loner_tpu.data.rosbag_convert import poses_from_stamped_quats
+
+        stamps = np.array([2.0, 0.0, 1.0])
+        pos = np.array([[2, 0, 0], [0, 0, 0], [1, 0, 0]], float)
+        # identity, identity, 90 deg yaw
+        quats = np.array(
+            [[0, 0, 0, 1], [0, 0, 0, 1], [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)]],
+            float,
+        )
+        poses, times = poses_from_stamped_quats(stamps, pos, quats)
+        np.testing.assert_allclose(times, [0.0, 1.0, 2.0])
+        np.testing.assert_allclose(poses[:, 0, 3], [0.0, 1.0, 2.0])
+        # the t=1 pose carries the yaw
+        np.testing.assert_allclose(poses[1, :3, 0], [0, 1, 0], atol=1e-6)
+
+    def test_select_tf_pair_filters_frames(self):
+        from loner_tpu.data.rosbag_convert import select_tf_pair
+
+        parents = ["map", "odom", "/map", "map"]
+        children = ["base", "base", "base", "lidar"]
+        stamps = np.arange(4.0)
+        pos = np.arange(12.0).reshape(4, 3)
+        quats = np.tile([0, 0, 0, 1.0], (4, 1))
+        s, p, q = select_tf_pair(parents, children, stamps, pos, quats, "map", "base")
+        np.testing.assert_allclose(s, [0.0, 2.0])
+        np.testing.assert_allclose(p[:, 0], [0.0, 6.0])

@@ -99,3 +99,39 @@ class TestTrajectoryLogger:
         log.finish(str(tmp_path))
         for name in ["tracking_only.txt", "estimated_trajectory.txt", "keyframe_trajectory.txt", "groundtruth.txt"]:
             assert (tmp_path / name).exists(), name
+
+
+class TestHybridLazy:
+    def _mgr(self, strategy):
+        return KeyFrameManager(
+            KeyFrameManagerConfig(
+                selection_strategy=strategy,
+                time_diff_seconds=1.0,
+                translation_threshold_m=0.5,
+            )
+        )
+
+    def _kf(self, t, x):
+        T = np.eye(4)
+        T[0, 3] = x
+        return KeyFrame(
+            scan=None, timestamp=t, pose_index=0, tracked_pose=T
+        )
+
+    def test_lazy_counts_motion_rejections_as_mapped(self):
+        """HYBRID_LAZY (reference keyframe_manager.py:122-127): a stationary
+        frame that passes the temporal gate but fails the motion gate
+        advances last_mapped_time so backpressure doesn't starve."""
+        m = self._mgr("HYBRID_LAZY")
+        assert m.should_accept(0.0, np.eye(4))
+        m.accept(self._kf(0.0, 0.0))
+        # stationary frame at t=2: temporal ok, motion rejected
+        assert not m.should_accept(2.0, self._kf(2.0, 0.01).tracked_pose)
+        assert m.last_mapped_time == 2.0
+
+    def test_plain_hybrid_ignores_rejections(self):
+        m = self._mgr("HYBRID")
+        assert m.should_accept(0.0, np.eye(4))
+        m.accept(self._kf(0.0, 0.0))
+        assert not m.should_accept(2.0, self._kf(2.0, 0.01).tracked_pose)
+        assert m.last_mapped_time == 0.0

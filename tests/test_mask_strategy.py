@@ -70,3 +70,42 @@ def test_band_indices_and_mask_sampling():
     in_band_r = (ends_r[lidar_sel][:, 2] > 0.4) & (ends_r[lidar_sel][:, 2] < 8.1)
     in_band_all = (ends[lidar_sel][:, 2] > 0.4) & (ends[lidar_sel][:, 2] < 8.1)
     assert in_band_all.mean() > in_band_r.mean()
+
+
+def test_fixed_strategy_epoch_coverage():
+    """FIXED (reference optimizer.py:269-346): same key + increasing
+    iteration slices a fixed per-window shuffle — p/R iterations cover every
+    scan point exactly once, and the same (key, iteration) is reproducible."""
+    scene = synthetic.Scene.default()
+    poses, ts = synthetic.circular_trajectory(n_poses=1, radius=4.0, z=1.5)
+    cube = compute_world_cube(poses, ray_range=(1.0, 40.0), rebase_to_first_pose=False)
+    p, r = 1024, 256
+    cfg = tiny_mapper_config(float(cube.scale_factor))._replace(
+        rays_strategy="FIXED", window_size=1, rays_per_kf=r, sky_rays_per_kf=8
+    )
+    dirs, dists, stamps, hit = synthetic.simulate_scan(
+        scene, poses[0], ts[0], n_channels=8, n_azimuth=128, max_range=40.0
+    )
+    scan = make_lidar_scan(dirs[hit], dists[hit], stamps[hit], pad_to=p)
+    kf = KeyFrame(scan=scan, timestamp=ts[0], pose_index=0, tracked_pose=poses[0], gt_pose=poses[0])
+    window = stack_window([kf], n_sky_pad=8)
+    pose6 = jax.jit(se3.matrix_to_pose)(jnp.asarray(poses[0], jnp.float32))
+    all_poses = jnp.zeros((cfg.max_keyframes, 6)).at[0].set(pose6)
+
+    key = jax.random.PRNGKey(5)
+    scale = float(cube.scale_factor)
+    slices = []
+    for it in range(p // r):
+        b = build_window_rays(all_poses, window, cube, cfg, key, jnp.asarray(it))
+        slices.append(np.asarray(b.depth)[:r] * scale)  # lidar part
+    all_depths = np.sort(np.concatenate(slices))
+    scan_depths = np.sort(np.asarray(scan.distances))
+    # coverage: the multiset of sampled depths IS the multiset of scan ranges
+    # (invalid/padded rays carry depth 0 on both sides)
+    matched = np.isclose(all_depths, scan_depths, atol=1e-3)
+    assert matched.mean() > 0.99, matched.mean()
+
+    # reproducible: same (key, iteration) -> identical rays
+    b0 = build_window_rays(all_poses, window, cube, cfg, key, jnp.asarray(0))
+    b0b = build_window_rays(all_poses, window, cube, cfg, key, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(b0.depth), np.asarray(b0b.depth))

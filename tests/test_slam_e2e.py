@@ -118,3 +118,31 @@ class TestOnlineSlam:
         slam.stop(str(tmp_path))
         assert (tmp_path / "trajectory" / "tracking_only.txt").exists()
         assert len(slam.mapper.kf_manager) >= 2
+
+
+class TestConcurrentDeviceSplit:
+    def test_tracker_and_mapper_on_disjoint_devices(self, sequence, tmp_path):
+        """PP axis: tracker pinned to device 0, mapper DP over devices 1..m —
+        two concurrent programs on disjoint devices of the virtual mesh."""
+        import jax
+
+        scene, poses, ts, cube, scans = sequence
+        slam = build_slam(cube, float(cube.scale_factor), single_threaded=False)
+        slam.cfg.concurrent_device_split = True
+        # re-run the constructor wiring on the existing config
+        slam2 = LonerSLAM(slam.cfg, cube)
+        assert slam2.tracker._device == jax.devices()[0]
+        assert slam2.mapper.mesh is not None
+        mapper_devs = set(slam2.mapper.mesh.devices.ravel())
+        assert jax.devices()[0] not in mapper_devs
+
+        for scan, sky, t0, T in scans[:12]:
+            slam2.process_scan(scan, t0, sky=sky)
+        slam2.stop(str(tmp_path / "split"))
+        assert (tmp_path / "split" / "trajectory" / "tracking_only.txt").exists()
+        # tracker's device buffers really live on device 0
+        prev_pts, _ = slam2.tracker._prev_cloud
+        assert list(prev_pts.devices())[0] == jax.devices()[0]
+        # mapper state lives on the mapper mesh, not the tracker device
+        state_devs = set(jax.tree.leaves(slam2.mapper.state.params)[0].devices())
+        assert jax.devices()[0] not in state_devs

@@ -1,6 +1,12 @@
 """Hash-table tensor parallelism: the DP x TP sharded train step must agree
 with the single-device step (same program, partitioned by XLA over the
-virtual 8-device CPU mesh)."""
+virtual 8-device CPU mesh).
+
+Runs on the DEFAULT encoder (triad: CP lines + Fourier + one fat-row hash
+level, ``loner_tpu/models/nerf.py``) — the shipped configuration — with the
+step key plumbed into the encoder so the strided table backward draws the
+same slot rotation on every mesh layout.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,10 +37,6 @@ def setup():
     poses, ts = synthetic.circular_trajectory(n_poses=4, radius=6.0, z=1.5)
     cube = compute_world_cube(poses, ray_range=(1.0, 40.0), rebase_to_first_pose=False)
     cfg = tiny_mapper_config(float(cube.scale_factor))
-    # deterministic backward for the parity check: the stochastic "level1"
-    # scatter keys off coordinate mantissa bits, which shift in the last ulp
-    # under the partitioned program's different fusion choices
-    cfg = cfg._replace(nerf=cfg.nerf._replace(encoding_bwd="exact"))
 
     kfs = []
     rng = np.random.default_rng(0)
@@ -51,6 +53,14 @@ def setup():
     state = init_mapper_state(jax.random.PRNGKey(0), cfg)
     state = state._replace(poses=state.poses.at[: pose6.shape[0]].set(pose6))
     return cfg, cube, state, window
+
+
+def _table_leaves_with_path(tree):
+    return [
+        (path, leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+        if any(getattr(e, "key", None) == "table" for e in path)
+    ]
 
 
 def _run_steps(step, state, window, cfg, n=3):
@@ -71,21 +81,32 @@ def _run_steps(step, state, window, cfg, n=3):
 
 
 class TestTPSharding:
-    def test_table_leaves_get_model_sharding(self, setup):
+    def test_triad_table_leaves_get_model_sharding(self, setup):
+        """The triad default's fat hash level must shard over 'model'; the
+        tiny CP lines and the MLPs stay replicated; Adam moments mirror the
+        param shardings exactly."""
         cfg, cube, state, window = setup
         mesh = make_dp_tp_mesh(8, tp=2)
         shardings = mapper_state_shardings(state, mesh)
-        s_table = shardings.params["sigma"]["table"]
-        assert s_table.spec == jax.sharding.PartitionSpec(None, "model")
-        # the Adam moments of the table must be sharded identically
-        adam_mu_leaves = [
+
+        hash_s = shardings.params["sigma"]["table"]["hash"]
+        assert hash_s.spec == jax.sharding.PartitionSpec(None, "model")
+        cp_leaves = jax.tree_util.tree_leaves(shardings.params["sigma"]["table"]["cp"])
+        assert all(s.spec == jax.sharding.PartitionSpec() for s in cp_leaves)
+
+        # optimizer moments of the hash table shard identically; moments of
+        # the CP lines stay replicated
+        sharded_moments = [
             s
-            for path, s in jax.tree_util.tree_leaves_with_path(shardings.opt_sigma)
-            if any(getattr(e, "key", None) == "table" for e in path)
+            for path, s in _table_leaves_with_path(shardings.opt_sigma)
+            if any(getattr(e, "key", None) == "hash" for e in path)
+            and getattr(s, "spec", None) is not None
+            and s.spec != jax.sharding.PartitionSpec()
         ]
-        assert adam_mu_leaves, "no table-shaped optimizer-state leaves found"
-        assert all(s.spec == jax.sharding.PartitionSpec(None, "model") for s in adam_mu_leaves)
-        # MLP weights stay replicated
+        assert sharded_moments, "no sharded hash-table optimizer-state leaves found"
+        assert all(
+            s.spec == jax.sharding.PartitionSpec(None, "model") for s in sharded_moments
+        )
         s_mlp = jax.tree_util.tree_leaves(shardings.params["sigma"]["mlp"])[0]
         assert s_mlp.spec == jax.sharding.PartitionSpec()
 
@@ -96,12 +117,12 @@ class TestTPSharding:
         ref_state, ref_losses = _run_steps(step, state, window, cfg)
 
         mesh = make_dp_tp_mesh(8, tp=2)
-        tp_step = make_tp_train_step(step, mesh)
+        tp_step = make_tp_train_step(cfg, cube, mesh)
         tp_state, tp_losses = _run_steps(tp_step, state, window, cfg)
 
         np.testing.assert_allclose(tp_losses, ref_losses, rtol=2e-4)
-        ref_tab = np.asarray(ref_state.params["sigma"]["table"])
-        tp_tab = np.asarray(tp_state.params["sigma"]["table"])
+        ref_tab = np.asarray(ref_state.params["sigma"]["table"]["hash"])
+        tp_tab = np.asarray(tp_state.params["sigma"]["table"]["hash"])
         # float reassociation across shards flips Adam's direction on
         # near-zero grads for a handful of cells; bound the drift instead of
         # demanding bitwise parity (3 steps x lr=0.01)
@@ -112,10 +133,21 @@ class TestTPSharding:
             np.asarray(tp_state.poses), np.asarray(ref_state.poses), atol=1e-5
         )
 
+    def test_state_survives_tp_step(self, setup):
+        """The TP wrapper must not donate or delete the caller's state: the
+        round-2 regression reused a state after a donating step and crashed
+        with 'Array has been deleted'."""
+        cfg, cube, state, window = setup
+        mesh = make_dp_tp_mesh(8, tp=2)
+        tp_step = make_tp_train_step(cfg, cube, mesh)
+        _run_steps(tp_step, state, window, cfg, n=1)
+        # the input state is still alive and usable for a second program
+        assert bool(jnp.all(jnp.isfinite(state.poses)))
+        _run_steps(tp_step, state, window, cfg, n=1)
+
     def test_tp4_runs(self, setup):
         cfg, cube, state, window = setup
-        step = make_train_step(cfg, cube)
         mesh = make_dp_tp_mesh(8, tp=4)
-        tp_step = make_tp_train_step(step, mesh)
+        tp_step = make_tp_train_step(cfg, cube, mesh)
         _, losses = _run_steps(tp_step, state, window, cfg, n=2)
         assert np.all(np.isfinite(losses))

@@ -124,9 +124,16 @@ class TestTrainStep:
         state2, aux = step(state, window, jax.random.PRNGKey(1), flags, pose_mask, jnp.asarray(0))
         assert np.isfinite(float(aux["loss"]))
         assert int(state2.global_step) == 1
+
+        def tree_delta(a, b):
+            return sum(
+                float(jnp.sum(jnp.abs(x - y)))
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+            )
+
         # sigma params moved, intensity + poses did not
-        assert float(jnp.sum(jnp.abs(state2.params["sigma"]["table"] - state.params["sigma"]["table"]))) > 0
-        assert float(jnp.sum(jnp.abs(state2.params["intensity"]["table"] - state.params["intensity"]["table"]))) == 0
+        assert tree_delta(state2.params["sigma"]["table"], state.params["sigma"]["table"]) > 0
+        assert tree_delta(state2.params["intensity"]["table"], state.params["intensity"]["table"]) == 0
         np.testing.assert_allclose(np.asarray(state2.poses), np.asarray(state.poses))
 
     def test_convergence_on_synthetic_scene(self, setup):
