@@ -99,6 +99,26 @@ def uniform_sampler_z_vals(key, bundle, n_samples: int, perturb: float = 1.0):
     return stratified_z_vals(key, bundle.near, bundle.far, n_samples, perturb)
 
 
+def _reattach_affine_z(z_sg: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray) -> jnp.ndarray:
+    """Re-attach (near, far) gradients to sampler output analytically.
+
+    Every z the sampler emits — stratified-uniform, jittered, or
+    inverse-CDF importance — is ``near + t * (far - near)`` where the
+    fraction ``t`` does not depend on (near, far): stratified fractions are
+    fixed by construction, and importance fractions come from the
+    (stop-gradient) occupancy CDF over fixed fractional bins. So instead of
+    differentiating through the sampler (the lax.sort transpose alone costs
+    ~21 ms/step at the flagship shape, scripts/bench_pose_parts.py), the
+    whole sampler runs under stop_gradient and the exact affine gradient is
+    restored here for two reductions' worth of backward work.
+    """
+    span = far - near
+    t = jax.lax.stop_gradient(z_sg - near[:, None]) / jax.lax.stop_gradient(
+        jnp.where(jnp.abs(span) < 1e-12, 1.0, span)
+    )[:, None]
+    return near[:, None] + t * span[:, None]
+
+
 def occ_grid_sampler_z_vals(
     key: jax.Array,
     bundle,
@@ -108,24 +128,35 @@ def occ_grid_sampler_z_vals(
 ) -> jnp.ndarray:
     """Half stratified-uniform, half importance-sampled from the occupancy
     grid, sorted-merged (``OccGridRaySampler.get_samples``,
-    ``src/models/ray_sampling.py:53-92``). (N, n_samples)."""
+    ``src/models/ray_sampling.py:53-92``). (N, n_samples).
+
+    The sampler body is non-differentiable (see ``_reattach_affine_z``);
+    (near, far) — and through them the poses — get their exact gradients
+    re-attached on the way out.
+    """
+    near = bundle.near
+    far = bundle.far
     k_unif, k_pdf = jax.random.split(key)
     half = n_samples // 2
-    z = stratified_z_vals(k_unif, bundle.near, bundle.far, half, perturb)
+
+    near_sg = jax.lax.stop_gradient(near)
+    far_sg = jax.lax.stop_gradient(far)
+    origins_sg = jax.lax.stop_gradient(bundle.origins)
+    dirs_sg = jax.lax.stop_gradient(bundle.directions)
+
+    z = stratified_z_vals(k_unif, near_sg, far_sg, half, perturb)
 
     # transposed points (3, N, half): component axis leading, batch minor
-    pts_t = bundle.origins.T[:, :, None] + bundle.directions.T[:, :, None] * z[None, :, :]
-    probs = jax.lax.stop_gradient(occupancy_probs_t(occ_grid, pts_t))  # (N, half)
+    pts_t = origins_sg.T[:, :, None] + dirs_sg.T[:, :, None] * z[None, :, :]
+    probs = occupancy_probs_t(occ_grid, pts_t)  # (N, half)
 
-    # z_imp is non-differentiable (the reference detaches importance samples
-    # too): stop the INPUT gradients so no JVP has to traverse the sampler
-    mids = jax.lax.stop_gradient(0.5 * (z[:, :-1] + z[:, 1:]))  # (N, half-1)
+    mids = 0.5 * (z[:, :-1] + z[:, 1:])  # (N, half-1)
     if jax.default_backend() == "tpu":
         from loner_tpu.ops.pdf_kernel import sample_pdf_pallas
 
         z_imp = sample_pdf_pallas(k_pdf, mids, probs[:, 1:-1], half, det=False)
     else:
         z_imp = sample_pdf(k_pdf, mids, probs[:, 1:-1], half, det=False)
-    z_imp = jax.lax.stop_gradient(z_imp)
 
-    return jnp.sort(jnp.concatenate([z, z_imp], axis=-1), axis=-1)
+    z_sorted = jnp.sort(jnp.concatenate([z, z_imp], axis=-1), axis=-1)
+    return _reattach_affine_z(jax.lax.stop_gradient(z_sorted), near, far)

@@ -97,24 +97,22 @@ def cp_encode_ref(
 def _build_w(x: jnp.ndarray, res: int, c: int) -> jnp.ndarray:
     """x (c,) in [0,1] -> two-hot W (128, c) f32."""
     pix = jnp.clip(x, 0.0, 1.0) * (res - 1)
-    i0f = jnp.clip(jnp.floor(pix), 0.0, res - 2.0)
-    f = (pix - i0f)[None, :]  # (1, c)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CP_PAD_R, c), 0)
-    i0 = i0f.astype(jnp.int32)[None, :]
-    return jnp.where(rows == i0, 1.0 - f, 0.0) + jnp.where(rows == i0 + 1, f, 0.0)
+    # two-hot interpolation weights ARE the triangle hat function: one
+    # |sub| + relu instead of two iota compares + selects (W build is the
+    # VPU-bound part of this kernel)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CP_PAD_R, c), 0).astype(jnp.float32)
+    return jax.nn.relu(1.0 - jnp.abs(rows - pix[None, :]))
 
 
 def _build_dw(x: jnp.ndarray, res: int, c: int) -> jnp.ndarray:
     """dW/dx (128, c): (onehot(i0+1) - onehot(i0)) * (res-1), zero outside
     the clip range."""
     pix = jnp.clip(x, 0.0, 1.0) * (res - 1)
-    i0f = jnp.clip(jnp.floor(pix), 0.0, res - 2.0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CP_PAD_R, c), 0)
-    i0 = i0f.astype(jnp.int32)[None, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CP_PAD_R, c), 0).astype(jnp.float32)
+    d = rows - pix[None, :]
     live = ((x > 0.0) & (x < 1.0)).astype(jnp.float32)[None, :] * jnp.float32(res - 1)
-    return (
-        jnp.where(rows == i0 + 1, 1.0, 0.0) - jnp.where(rows == i0, 1.0, 0.0)
-    ) * live
+    # dW/dpix of the hat: sign(r - pix) on the two live rows (|d| < 1)
+    return jnp.where(jnp.abs(d) < 1.0, jnp.sign(d), 0.0) * live
 
 
 def _fwd_kernel(pts_ref, lines_ref, out_ref, *, resolutions, n_features):
@@ -124,10 +122,14 @@ def _fwd_kernel(pts_ref, lines_ref, out_ref, *, resolutions, n_features):
     for lvl, res in enumerate(resolutions):
         feats = []
         for a in range(3):
-            w = _build_w(pts[a], int(res), c)  # (128, c)
+            # W built in f32 (pix needs the mantissa), matmul in bf16 (the
+            # MXU-native rate; weight quantization is ~2^-9 relative)
+            w = _build_w(pts[a], int(res), c).astype(jnp.bfloat16)  # (128, c)
             feats.append(
                 jnp.dot(
-                    lines_ref[3 * lvl + a], w, preferred_element_type=jnp.float32
+                    lines_ref[3 * lvl + a].astype(jnp.bfloat16),
+                    w,
+                    preferred_element_type=jnp.float32,
                 )
             )  # (F, c)
         out_ref[lvl * f_dim : (lvl + 1) * f_dim, :] = feats[0] * feats[1] * feats[2]
@@ -148,27 +150,24 @@ def _bwd_kernel(
     dxyz = [jnp.zeros((c,), jnp.float32) for _ in range(3)]
     for lvl, res in enumerate(resolutions):
         gl = g_ref[lvl * f_dim : (lvl + 1) * f_dim, :]  # (F, c)
-        feats = []
-        for a in range(3):
-            w = _build_w(pts[a], int(res), c)
-            feats.append(
-                jnp.dot(lines_ref[3 * lvl + a], w, preferred_element_type=jnp.float32)
-            )
+        line_bf = [lines_ref[3 * lvl + a].astype(jnp.bfloat16) for a in range(3)]
+        ws = [_build_w(pts[a], int(res), c).astype(jnp.bfloat16) for a in range(3)]
+        feats = [
+            jnp.dot(line_bf[a], ws[a], preferred_element_type=jnp.float32)
+            for a in range(3)
+        ]
         for a in range(3):
             gother = gl * feats[(a + 1) % 3] * feats[(a + 2) % 3]  # (F, c)
-            w = _build_w(pts[a], int(res), c)  # rebuilt: one live W at a time
             # dL (F, 128) = gother (F, c) @ W^T — contract the c axes
             dl = jax.lax.dot_general(
-                gother,
-                w,
+                gother.astype(jnp.bfloat16),
+                ws[a],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dlines_ref[3 * lvl + a] = dlines_ref[3 * lvl + a] + dl
-            dw = _build_dw(pts[a], int(res), c)  # (128, c)
-            diff = jnp.dot(
-                lines_ref[3 * lvl + a], dw, preferred_element_type=jnp.float32
-            )  # (F, c)
+            dw = _build_dw(pts[a], int(res), c).astype(jnp.bfloat16)  # (128, c)
+            diff = jnp.dot(line_bf[a], dw, preferred_element_type=jnp.float32)  # (F, c)
             dxyz[a] = dxyz[a] + jnp.sum(gother * diff, axis=0)
     dpts_ref[0, :] = dxyz[0]
     dpts_ref[1, :] = dxyz[1]

@@ -311,7 +311,7 @@ def _pad_pts(pts_t: jnp.ndarray, row_width: int = 16) -> Tuple[jnp.ndarray, int]
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _fused_encode(table, pts_t, key_data, cfg: FusedHashConfig):
-    out, _ = _fused_fwd(table, pts_t, key_data, cfg)
+    out, _ = _encode_fwd_impl(table, pts_t, cfg)
     return out
 
 
@@ -324,12 +324,15 @@ def _encode_fwd_impl(table, pts_t, cfg: FusedHashConfig):
         out = _interp_fwd_pallas(pts_p, v_t, cfg, scales)
     else:
         out = _interp_fwd_ref(pts_p, v_t, cfg)
-    return out[:, :n]
+    return out[:, :n], v_t
 
 
 def _fused_fwd(table, pts_t, key_data, cfg: FusedHashConfig):
-    out = _encode_fwd_impl(table, pts_t, cfg)
-    return out, (table, pts_t, key_data)
+    out, v_t = _encode_fwd_impl(table, pts_t, cfg)
+    # v_t (the gathered corner rows) is saved as a residual: the d_pts
+    # backward needs it, and re-gathering costs ~12 ns/row on v5e while
+    # re-reading the saved slab is sequential-bandwidth (~20x cheaper).
+    return out, (table, pts_t, key_data, v_t)
 
 
 def _bwd_dtable_exact(pts_t, g, cfg: FusedHashConfig):
@@ -389,12 +392,10 @@ def _bwd_dtable_strided(pts_t, g, key_data, cfg: FusedHashConfig):
 
 
 def _fused_bwd(cfg: FusedHashConfig, resids, g):
-    table, pts_t, key_data = resids
-    tables_bf16 = table.astype(jnp.bfloat16)
+    table, pts_t, key_data, v_t = resids
     pts_p, n = _pad_pts(pts_t, cfg.row_width)
     g_p = jnp.pad(g, ((0, 0), (0, pts_p.shape[-1] - n))) if pts_p.shape[-1] != n else g
 
-    v_t = _gather_v_t(tables_bf16, pts_p, cfg)
     if _use_pallas():
         scales = jnp.asarray(cfg.level_scales()).reshape(-1, 1)
         d_pts = _dpts_pallas(pts_p, v_t, g_p, cfg, scales)[:, :n]
