@@ -65,10 +65,20 @@ class KeyFrameManager:
         )
         return dt >= self.cfg.translation_threshold_m or np.degrees(ang) >= self.cfg.rotation_threshold_deg
 
-    def should_accept(self, timestamp: float, tracked_pose: np.ndarray) -> bool:
+    def decide(self, timestamp: float, tracked_pose: np.ndarray) -> str:
+        """Keyframe decision: ``"NEW"`` (create + optimize), ``"REOPT"``
+        (re-optimize the last keyframe without creating one — HYBRID's
+        stationary behavior, ``keyframe_manager.py:106-120``), ``"SKIP"``.
+
+        HYBRID vs HYBRID_LAZY: both require motion AND elapsed time for a
+        new keyframe, but when the time has elapsed and the platform is
+        stationary HYBRID still spends the optimization budget on the
+        existing window (and resets the temporal clock), while HYBRID_LAZY
+        skips entirely (it only marks the frame as 'mapped' for
+        backpressure, ``keyframe_manager.py:122-127``)."""
         s = self.cfg.selection_strategy
         if s == "TEMPORAL":
-            return self._temporal_gate(timestamp)
+            return "NEW" if self._temporal_gate(timestamp) else "SKIP"
         if s in ("MOTION", "HYBRID", "HYBRID_LAZY"):
             motion = self._motion_gate(tracked_pose)
             temporal = self._temporal_gate(timestamp)
@@ -77,8 +87,20 @@ class KeyFrameManager:
                 # HYBRID_LAZY/MOTION backpressure doesn't starve the tracker
                 # (reference keyframe_manager.py:75-76,122-127)
                 self._last_motion_rejected_time = timestamp
-            return motion if s == "MOTION" else (motion and temporal)
+            if s == "MOTION":
+                return "NEW" if motion else "SKIP"
+            if motion and temporal:
+                return "NEW"
+            if s == "HYBRID" and temporal and self.keyframes:
+                # reset the temporal clock even without a new keyframe
+                # (reference keyframe_manager.py:109-111)
+                self._last_accepted_time = timestamp
+                return "REOPT"
+            return "SKIP"
         raise ValueError(f"Unknown keyframe selection strategy {s}")
+
+    def should_accept(self, timestamp: float, tracked_pose: np.ndarray) -> bool:
+        return self.decide(timestamp, tracked_pose) == "NEW"
 
     @property
     def last_mapped_time(self) -> Optional[float]:

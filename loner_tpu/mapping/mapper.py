@@ -157,32 +157,35 @@ class OnlineMapper:
         sky: Optional[LidarScan] = None,
         use_gt_pose: bool = False,
     ) -> bool:
-        """Keyframe gate + optimization. Returns True if a keyframe was
-        accepted and the map optimized."""
-        if not self.kf_manager.should_accept(timestamp, tracked_pose):
+        """Keyframe gate + optimization. Returns True if the map was
+        optimized (a new keyframe, or HYBRID's stationary re-optimization
+        of the existing window)."""
+        decision = self.kf_manager.decide(timestamp, tracked_pose)
+        if decision == "SKIP":
             return False
         t0 = time.time()
 
-        pose_init = (
-            gt_pose
-            if (use_gt_pose and gt_pose is not None)
-            else self.kf_manager.rebase_pose(tracked_pose, np.asarray(self.state.poses))
-        )
-        kf = KeyFrame(
-            scan=scan,
-            timestamp=timestamp,
-            pose_index=len(self.kf_manager),
-            tracked_pose=np.asarray(tracked_pose),
-            gt_pose=gt_pose,
-            sky=sky,
-        )
-        assert kf.pose_index < self.cfg.mapper.max_keyframes, "max_keyframes exceeded"
-        self.kf_manager.accept(kf)
-        self.state = self.state._replace(
-            poses=self.state.poses.at[kf.pose_index].set(
-                se3.matrix_to_pose(jnp.asarray(pose_init, jnp.float32))
+        if decision == "NEW":
+            pose_init = (
+                gt_pose
+                if (use_gt_pose and gt_pose is not None)
+                else self.kf_manager.rebase_pose(tracked_pose, np.asarray(self.state.poses))
             )
-        )
+            kf = KeyFrame(
+                scan=scan,
+                timestamp=timestamp,
+                pose_index=len(self.kf_manager),
+                tracked_pose=np.asarray(tracked_pose),
+                gt_pose=gt_pose,
+                sky=sky,
+            )
+            assert kf.pose_index < self.cfg.mapper.max_keyframes, "max_keyframes exceeded"
+            self.kf_manager.accept(kf)
+            self.state = self.state._replace(
+                poses=self.state.poses.at[kf.pose_index].set(
+                    se3.matrix_to_pose(jnp.asarray(pose_init, jnp.float32))
+                )
+            )
 
         window_kfs = self.kf_manager.get_active_window()
         window = stack_window(window_kfs, n_sky_pad=self.cfg.n_sky_pad)

@@ -129,9 +129,22 @@ class TestHybridLazy:
         assert not m.should_accept(2.0, self._kf(2.0, 0.01).tracked_pose)
         assert m.last_mapped_time == 2.0
 
-    def test_plain_hybrid_ignores_rejections(self):
+    def test_plain_hybrid_reoptimizes_when_stationary(self):
+        # HYBRID: elapsed time + no motion -> no new keyframe, but the
+        # optimization budget is still spent on the existing window and the
+        # temporal clock resets (reference keyframe_manager.py:106-120).
         m = self._mgr("HYBRID")
-        assert m.should_accept(0.0, np.eye(4))
+        assert m.decide(0.0, np.eye(4)) == "NEW"
         m.accept(self._kf(0.0, 0.0))
-        assert not m.should_accept(2.0, self._kf(2.0, 0.01).tracked_pose)
-        assert m.last_mapped_time == 0.0
+        assert m.decide(2.0, self._kf(2.0, 0.01).tracked_pose) == "REOPT"
+        assert m.last_mapped_time == 2.0
+        # clock was reset: immediately after, neither criterion fires
+        assert m.decide(2.5, self._kf(2.5, 0.02).tracked_pose) == "SKIP"
+
+    def test_hybrid_lazy_skips_when_stationary(self):
+        m = self._mgr("HYBRID_LAZY")
+        assert m.decide(0.0, np.eye(4)) == "NEW"
+        m.accept(self._kf(0.0, 0.0))
+        assert m.decide(2.0, self._kf(2.0, 0.01).tracked_pose) == "SKIP"
+        # the rejection still counts as 'mapped' for backpressure
+        assert m.last_mapped_time == 2.0
