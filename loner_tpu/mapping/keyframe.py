@@ -33,6 +33,11 @@ class KeyFrame:
     gt_pose: Optional[np.ndarray] = None  # (4,4) groundtruth, if known
     sky: Optional[LidarScan] = None
     is_anchored: bool = False  # first KF anchors the world frame
+    # online camera mode (reference keyframe.py:108-128): the image matched
+    # to this keyframe's scan by FrameSynthesis, attached (possibly late —
+    # the match resolves when the image arrives) by OnlineMapper.attach_image
+    image: Optional[np.ndarray] = None  # (H, W, C) float32 in [0, 1]
+    image_timestamp: Optional[float] = None
     # MASK ray-selection support (FDT trunk-band sampling,
     # src/mapping/optimizer.py:367-379): indices of scan points whose WORLD
     # z lies in the trunk band, cyclically padded to the scan budget so

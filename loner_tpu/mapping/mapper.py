@@ -70,6 +70,21 @@ def default_keyframe_schedule(skip_pose_refinement: bool = True) -> List[Schedul
 
 
 @dataclass
+class OnlineCameraConfig:
+    """Online camera/intensity training (the reference's camera samples in
+    the live schedule, ``src/loner.py:273`` + ``src/mapping/optimizer.py:
+    517-688``, re-designed as a decoupled per-window RGB pass: sigma trains
+    from lidar, then the intensity branch trains from the window's matched
+    images with sigma detached)."""
+
+    enabled: bool = False
+    K: Optional[np.ndarray] = None  # (3, 3) camera intrinsics
+    lidar_to_camera: Optional[np.ndarray] = None  # (4, 4): cam pose = kf pose @ this
+    iterations_per_window: int = 20
+    n_rays: int = 1024
+
+
+@dataclass
 class OnlineMapperConfig:
     mapper: MapperConfig = field(default_factory=MapperConfig)
     keyframe_manager: KeyFrameManagerConfig = field(default_factory=KeyFrameManagerConfig)
@@ -90,6 +105,7 @@ class OnlineMapperConfig:
     # with the tracker pinned elsewhere, tracking and mapping become two
     # concurrent programs on disjoint devices (the PP axis)
     mesh_device_indices: Optional[List[int]] = None
+    camera: OnlineCameraConfig = field(default_factory=OnlineCameraConfig)
 
 
 class OnlineMapper:
@@ -119,6 +135,13 @@ class OnlineMapper:
         # host-side mirror of state.global_step: reading the device scalar
         # every iteration would add a device->host round-trip per step
         self._host_step = 0
+        # schedule-bucket counter: advances on every optimization pass, NEW
+        # or HYBRID stationary re-opt alike — the reference bumps
+        # _keyframe_count on every iterate_optimizer call
+        # (src/mapping/optimizer.py:190), so a stationary platform still
+        # advances past the 1000-iteration first-keyframe phase
+        self._opt_count = 0
+        self._camera_step = None  # built lazily on the first image window
         self.map_times: List[float] = []
         self.its_per_sec_log: List[float] = []
         self.window_timer = WindowTimer()  # per-window timing.csv rows
@@ -126,11 +149,11 @@ class OnlineMapper:
         self.keyframe_update_callbacks: List[Callable] = []
 
     # ------------------------------------------------------------------
-    def _phases_for_kf(self, kf_count: int) -> List[IterationPhase]:
-        """Select the iteration schedule for the kf_count-th keyframe
-        (1-based), walking the schedule's num_keyframes buckets
-        (``optimizer.py:145-155``)."""
-        remaining = kf_count
+    def _phases_for_kf(self, opt_count: int) -> List[IterationPhase]:
+        """Select the iteration schedule for the opt_count-th optimization
+        pass (1-based; includes HYBRID stationary re-opts), walking the
+        schedule's num_keyframes buckets (``optimizer.py:145-155,190``)."""
+        remaining = opt_count
         for phase in self.cfg.schedule:
             if phase.num_keyframes == -1 or remaining <= phase.num_keyframes:
                 return phase.iteration_schedule
@@ -190,11 +213,12 @@ class OnlineMapper:
         window_kfs = self.kf_manager.get_active_window()
         window = stack_window(window_kfs, n_sky_pad=self.cfg.n_sky_pad)
 
+        self._opt_count += 1
         n_iters = 0
         t_opt = time.time()
         self.window_timer.start()
         loss_rows: List[tuple] = []  # (phase_idx, it, aux) device scalars
-        for phase_idx, phase in enumerate(self._phases_for_kf(len(self.kf_manager))):
+        for phase_idx, phase in enumerate(self._phases_for_kf(self._opt_count)):
             flags = TrainStepFlags(
                 freeze_sigma=jnp.asarray(phase.freeze_sigma_mlp),
                 freeze_rgb=jnp.asarray(phase.freeze_rgb_mlp),
@@ -238,6 +262,9 @@ class OnlineMapper:
         if dt_opt > 0:
             self.its_per_sec_log.append(n_iters / dt_opt)
 
+        if self.cfg.camera.enabled:
+            self._run_camera_phase(window_kfs)
+
         poses_np = np.asarray(self.state.poses)
         for cb in self.keyframe_update_callbacks:
             for k in window_kfs:
@@ -247,6 +274,62 @@ class OnlineMapper:
         self._maybe_checkpoint()
         self.map_times.append(time.time() - t0)
         return True
+
+    # ------------------------------------------------------------------
+    # online camera mode
+    # ------------------------------------------------------------------
+    def attach_image(self, scan, image, image_timestamp: float) -> bool:
+        """Attach a matched image to the keyframe holding ``scan`` (object
+        identity — FrameSynthesis matches the same LidarScan the mapper was
+        fed). Returns False if that scan never became a keyframe."""
+        for kf in reversed(self.kf_manager.keyframes):
+            if kf.scan is scan:
+                kf.image = np.asarray(image, np.float32)
+                kf.image_timestamp = image_timestamp
+                return True
+        return False
+
+    def _run_camera_phase(self, window_kfs) -> int:
+        """The decoupled RGB pass over the window's image-carrying keyframes:
+        intensity branch trains against the matched images at the CURRENT
+        optimized keyframe poses, sigma detached (camera_optimizer.py).
+        Padded slots (windows with fewer images than window_size) are
+        disabled through the pixel mask. Returns iterations run."""
+        cam = self.cfg.camera
+        kfs = [k for k in window_kfs if k.image is not None]
+        if not kfs or cam.K is None:
+            return 0
+        from loner_tpu.mapping.camera_optimizer import (
+            make_camera_train_step,
+            stack_camera_window,
+        )
+
+        b = self.cfg.keyframe_manager.window_size
+        t_lc = (
+            np.eye(4) if cam.lidar_to_camera is None else np.asarray(cam.lidar_to_camera)
+        )
+        poses_np = np.asarray(self.state.poses)
+        imgs, masks, cam_poses = [], [], []
+        for k in kfs[:b]:
+            imgs.append(np.asarray(k.image, np.float32))
+            masks.append(np.ones(k.image.shape[:2], bool))
+            T = np.asarray(se3.pose_to_matrix(jnp.asarray(poses_np[k.pose_index])))
+            cam_poses.append(T @ t_lc)
+        while len(imgs) < b:  # static batch: pad with masked-out copies
+            imgs.append(imgs[0])
+            masks.append(np.zeros(imgs[0].shape[:2], bool))
+            cam_poses.append(cam_poses[0])
+        window = stack_camera_window(
+            np.stack(imgs), np.stack(masks), np.stack(cam_poses), np.asarray(cam.K)
+        )
+        if self._camera_step is None:
+            self._camera_step = make_camera_train_step(
+                self.cfg.mapper, self.cube, n_rays=cam.n_rays
+            )
+        for _ in range(cam.iterations_per_window):
+            self._key, sub = jax.random.split(self._key)
+            self.state, _ = self._camera_step(self.state, window, sub)
+        return cam.iterations_per_window
 
     # ------------------------------------------------------------------
     _LOSS_COLS = (
@@ -290,7 +373,7 @@ class OnlineMapper:
         if interval is None:  # DISABLED
             return
         self.write_pose_states(d)
-        if len(self.kf_manager) % interval == 0:
+        if self._opt_count % interval == 0:
             self.save_checkpoint(d)
 
     def write_pose_states(self, directory: str):

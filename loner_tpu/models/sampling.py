@@ -111,6 +111,18 @@ def _reattach_affine_z(z_sg: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray) -
     ~21 ms/step at the flagship shape, scripts/bench_pose_parts.py), the
     whole sampler runs under stop_gradient and the exact affine gradient is
     restored here for two reductions' worth of backward work.
+
+    Deliberate deviation from the reference: the affine gradient is
+    re-attached to ALL emitted z values, including the importance-sampled
+    half that the reference fully detaches
+    (``src/models/ray_sampling.py:86-92`` returns sampled z under
+    no-grad). The gradient here is exact *conditional on the frozen CDF*
+    — the importance fractions t really are (near, far)-independent given
+    the stop-gradient occupancy CDF — so this adds the true affine term
+    the reference drops. Pose-convergence parity is held by the e2e
+    tracking test (tests/test_slam_e2e.py ATE gate) and the joint-step
+    benchmark; if parity ever degrades, reattach only through the
+    stratified half's sort permutation.
     """
     span = far - near
     t = jax.lax.stop_gradient(z_sg - near[:, None]) / jax.lax.stop_gradient(

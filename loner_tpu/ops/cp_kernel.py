@@ -37,7 +37,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CP_PAD_R = 128  # padded line length; = one TPU lane register row
-_CHUNK = 2048  # points per kernel program (W slice = 1 MB VMEM f32)
+
+
+def _chunk() -> int:
+    """Points per kernel program. The f32(HIGHEST) path holds ~2x the VMEM
+    of bf16 (w/dw/gother slices at full width + bf16x3 pass buffers) and
+    overflows the 16 MB scoped-vmem limit at 2048."""
+    return 1024 if _MATMUL_DTYPE == jnp.float32 else 2048
+
+# Operand dtype for the kernel matmuls. f32 is the default: it is the path the
+# equivalence tests (tests/test_cp_kernel.py) hold to rtol=1e-5 against the
+# gather reference. bf16 runs the MXU at native rate but quantizes W and the
+# lines to ~2^-9 relative; enabling it requires a measured L1-quality
+# justification (scripts/exp_encoder_flagship.py), not just a speedup.
+_MATMUL_DTYPE = jnp.float32
+
+
+def set_cp_matmul_dtype(dtype) -> None:
+    """Set the operand dtype for the Pallas CP matmuls (f32 or bf16)."""
+    global _MATMUL_DTYPE
+    _MATMUL_DTYPE = dtype
+
+
+def _mm_precision():
+    # TPU MXU default precision multiplies f32 operands as bf16; the f32
+    # path must request HIGHEST (bf16x3 passes) to actually hold the
+    # rtol=1e-5 equivalence bar. bf16 operands take the native rate.
+    return (
+        jax.lax.Precision.HIGHEST
+        if _MATMUL_DTYPE == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
 
 def init_cp_lines(
@@ -111,8 +141,13 @@ def _build_dw(x: jnp.ndarray, res: int, c: int) -> jnp.ndarray:
     rows = jax.lax.broadcasted_iota(jnp.int32, (CP_PAD_R, c), 0).astype(jnp.float32)
     d = rows - pix[None, :]
     live = ((x > 0.0) & (x < 1.0)).astype(jnp.float32)[None, :] * jnp.float32(res - 1)
-    # dW/dpix of the hat: sign(r - pix) on the two live rows (|d| < 1)
-    return jnp.where(jnp.abs(d) < 1.0, jnp.sign(d), 0.0) * live
+    # dW/dpix under floor semantics: -1 at row i0 (d in (-1, 0]), +1 at row
+    # i0+1 (d in (0, 1]). Half-open masks so grid-aligned pix (d == 0 / 1)
+    # still gets the two-hot -1/+1 pair the gather reference produces.
+    dw = jnp.where((d > -1.0) & (d <= 0.0), -1.0, 0.0) + jnp.where(
+        (d > 0.0) & (d <= 1.0), 1.0, 0.0
+    )
+    return dw * live
 
 
 def _fwd_kernel(pts_ref, lines_ref, out_ref, *, resolutions, n_features):
@@ -122,14 +157,15 @@ def _fwd_kernel(pts_ref, lines_ref, out_ref, *, resolutions, n_features):
     for lvl, res in enumerate(resolutions):
         feats = []
         for a in range(3):
-            # W built in f32 (pix needs the mantissa), matmul in bf16 (the
-            # MXU-native rate; weight quantization is ~2^-9 relative)
-            w = _build_w(pts[a], int(res), c).astype(jnp.bfloat16)  # (128, c)
+            # W built in f32 (pix needs the mantissa); operand dtype for the
+            # matmul is the module flag (f32 default, see set_cp_matmul_dtype)
+            w = _build_w(pts[a], int(res), c).astype(_MATMUL_DTYPE)  # (128, c)
             feats.append(
                 jnp.dot(
-                    lines_ref[3 * lvl + a].astype(jnp.bfloat16),
+                    lines_ref[3 * lvl + a].astype(_MATMUL_DTYPE),
                     w,
                     preferred_element_type=jnp.float32,
+                    precision=_mm_precision(),
                 )
             )  # (F, c)
         out_ref[lvl * f_dim : (lvl + 1) * f_dim, :] = feats[0] * feats[1] * feats[2]
@@ -150,24 +186,33 @@ def _bwd_kernel(
     dxyz = [jnp.zeros((c,), jnp.float32) for _ in range(3)]
     for lvl, res in enumerate(resolutions):
         gl = g_ref[lvl * f_dim : (lvl + 1) * f_dim, :]  # (F, c)
-        line_bf = [lines_ref[3 * lvl + a].astype(jnp.bfloat16) for a in range(3)]
-        ws = [_build_w(pts[a], int(res), c).astype(jnp.bfloat16) for a in range(3)]
+        line_bf = [lines_ref[3 * lvl + a].astype(_MATMUL_DTYPE) for a in range(3)]
+        ws = [_build_w(pts[a], int(res), c).astype(_MATMUL_DTYPE) for a in range(3)]
         feats = [
-            jnp.dot(line_bf[a], ws[a], preferred_element_type=jnp.float32)
+            jnp.dot(
+                line_bf[a],
+                ws[a],
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(),
+            )
             for a in range(3)
         ]
         for a in range(3):
             gother = gl * feats[(a + 1) % 3] * feats[(a + 2) % 3]  # (F, c)
             # dL (F, 128) = gother (F, c) @ W^T — contract the c axes
             dl = jax.lax.dot_general(
-                gother.astype(jnp.bfloat16),
+                gother.astype(_MATMUL_DTYPE),
                 ws[a],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(),
             )
             dlines_ref[3 * lvl + a] = dlines_ref[3 * lvl + a] + dl
-            dw = _build_dw(pts[a], int(res), c).astype(jnp.bfloat16)  # (128, c)
-            diff = jnp.dot(line_bf[a], dw, preferred_element_type=jnp.float32)  # (F, c)
+            dw = _build_dw(pts[a], int(res), c).astype(_MATMUL_DTYPE)  # (128, c)
+            diff = jnp.dot(
+                line_bf[a], dw, preferred_element_type=jnp.float32,
+                precision=_mm_precision(),
+            )  # (F, c)
             dxyz[a] = dxyz[a] + jnp.sum(gother * diff, axis=0)
     dpts_ref[0, :] = dxyz[0]
     dpts_ref[1, :] = dxyz[1]
@@ -176,7 +221,7 @@ def _bwd_kernel(
 
 def _pad_pts(pts_t: jnp.ndarray):
     n = pts_t.shape[-1]
-    c = min(_CHUNK, ((n + 127) // 128) * 128)
+    c = min(_chunk(), ((n + 127) // 128) * 128)
     pad = (-n) % c
     if pad:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)))

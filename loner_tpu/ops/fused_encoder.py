@@ -61,6 +61,12 @@ class FusedHashConfig(NamedTuple):
     bwd_stride: int = 2  # k: keep every k-th slot-group per level
     slot_period: int = 512  # S, samples per ray; 0 disables strided bwd
     n_features: int = 2  # bf16 features per corner (= per level); even
+    # save the gathered corner rows v_t (L, 8F, N bf16) as a VJP residual
+    # (re-reading the slab is sequential-bandwidth, ~20x cheaper than the
+    # ~12 ns/row re-gather) — but the slab stays resident fwd->bwd
+    # (~0.5 GB at the 1.2M-point flagship batch). Set False to re-gather in
+    # the backward instead when HBM headroom is tight (16 GB v5e + donation).
+    save_residual: bool = True
 
     @property
     def table_size(self) -> int:
@@ -332,6 +338,9 @@ def _fused_fwd(table, pts_t, key_data, cfg: FusedHashConfig):
     # v_t (the gathered corner rows) is saved as a residual: the d_pts
     # backward needs it, and re-gathering costs ~12 ns/row on v5e while
     # re-reading the saved slab is sequential-bandwidth (~20x cheaper).
+    # cfg.save_residual=False trades that back for peak-HBM headroom.
+    if not cfg.save_residual:
+        v_t = None
     return out, (table, pts_t, key_data, v_t)
 
 
@@ -394,6 +403,8 @@ def _bwd_dtable_strided(pts_t, g, key_data, cfg: FusedHashConfig):
 def _fused_bwd(cfg: FusedHashConfig, resids, g):
     table, pts_t, key_data, v_t = resids
     pts_p, n = _pad_pts(pts_t, cfg.row_width)
+    if v_t is None:  # save_residual=False: rematerialize the corner rows
+        v_t = _gather_v_t(table.astype(jnp.bfloat16), pts_p, cfg)
     g_p = jnp.pad(g, ((0, 0), (0, pts_p.shape[-1] - n))) if pts_p.shape[-1] != n else g
 
     if _use_pallas():

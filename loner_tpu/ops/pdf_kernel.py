@@ -89,6 +89,14 @@ def sample_pdf_pallas(
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
+    # Mosaic's lane dynamic-gather requires index shape == operand tile
+    # shape ((r, 128) from (r, 128)), so the draw axis must be a 128
+    # multiple; pad with zeros and slice the extra columns off at the end
+    k_pad = (-n_importance) % 128
+    if k_pad:
+        u = jnp.pad(u, ((0, 0), (0, k_pad)))
+    k_tot = n_importance + k_pad
+
     # pad lane width to a 128 multiple; +inf sentinel keeps the count exact
     p = ((m + 1 + 127) // 128) * 128
     big = jnp.asarray(jnp.finfo(bins.dtype).max, bins.dtype)
@@ -109,9 +117,9 @@ def sample_pdf_pallas(
         in_specs=[
             pl.BlockSpec((r, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, n_importance), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, k_tot), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r, n_importance), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, n_importance), bins.dtype),
+        out_specs=pl.BlockSpec((r, k_tot), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, k_tot), bins.dtype),
     )(bins_p, cdf_p, u)
-    return out[:n_rays]
+    return out[:n_rays, :n_importance]

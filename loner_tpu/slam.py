@@ -67,7 +67,20 @@ class LonerSLAM:
             if n >= 2:
                 cfg.tracker.device_index = 0
                 w = cfg.mapper.mapper.window_size
-                m = max(d for d in range(1, n) if w % d == 0 or d == 1)
+                # mapper gets the largest divisor of window_size that fits in
+                # the n-1 non-tracker devices (the DP shard must divide the
+                # window's keyframe axis; make_sharded_train_step replicates
+                # non-divisible windows, which would waste the extra devices)
+                m = max(d for d in range(1, n) if w % d == 0)
+                if m == 1 and n > 2:
+                    import warnings
+
+                    warnings.warn(
+                        f"concurrent_device_split: window_size={w} has no "
+                        f"divisor <= {n - 1}; mapper runs on 1 device while "
+                        f"{n - 2} idle. Pick a window_size with a divisor "
+                        f"<= {n - 1}."
+                    )
                 cfg.mapper.mesh_device_indices = list(range(1, 1 + m))
         self.tracker = Tracker(cfg.tracker)
         self.frame_synthesis = FrameSynthesis(cfg.frame_synthesis)
@@ -92,7 +105,7 @@ class LonerSLAM:
             except queue.Empty:
                 continue
             try:
-                self._map_frame(*item)
+                self._dispatch(item)
             except BaseException as e:  # surfaced on stop()
                 self._worker_error = e
                 break
@@ -107,6 +120,14 @@ class LonerSLAM:
             use_gt_pose=self.cfg.use_groundtruth_poses,
         )
         self._last_mapped_time = timestamp
+
+    def _dispatch(self, item):
+        kind, payload = item
+        if kind == "scan":
+            self._map_frame(*payload)
+        else:  # "image": attach a matched image to its keyframe
+            scan, image, t_img = payload
+            self.mapper.attach_image(scan, image, t_img)
 
     # ------------------------------------------------------------------
     def process_scan(
@@ -147,8 +168,37 @@ class LonerSLAM:
                 and self._worker_error is None
             ):
                 time.sleep(0.005)
-            self._queue.put((result.scan, timestamp, result.pose, gt_pose, sky))
+            self._queue.put(("scan", (result.scan, timestamp, result.pose, gt_pose, sky)))
+        if self.cfg.mapper.camera.enabled:
+            # enqueue the (possibly motion-compensated) mapped scan for
+            # image<->scan interval matching; the queue order guarantees a
+            # match can only resolve after its scan reached the mapper
+            self.frame_synthesis.process_scan_for_matching(result.scan, timestamp)
+            self._drain_image_matches()
         return result.pose
+
+    def process_image(self, image: np.ndarray, timestamp: float) -> None:
+        """Feed one camera image into the live pipeline (the reference's
+        ``process_rgb``, ``src/loner.py:273``). The image is matched to the
+        first scan whose padded timestamp interval contains it
+        (``src/tracking/frame_synthesis.py:86-126``) and attached to that
+        scan's keyframe; the mapper then trains the intensity branch against
+        the window's images after each lidar pass."""
+        if not self.cfg.mapper.camera.enabled:
+            raise RuntimeError(
+                "process_image requires SlamConfig.mapper.camera.enabled"
+            )
+        self.frame_synthesis.process_image(np.asarray(image, np.float32), timestamp)
+        self._drain_image_matches()
+
+    def _drain_image_matches(self):
+        while self.frame_synthesis.has_frame():
+            mf = self.frame_synthesis.pop_frame()
+            item = ("image", (mf.scan, mf.image, mf.image_timestamp))
+            if self.cfg.single_threaded:
+                self._dispatch(item)
+            else:
+                self._queue.put(item)
 
     def stop(self, out_dir: Optional[str] = None):
         """Two-phase shutdown: drain the mapper queue, stop the worker,

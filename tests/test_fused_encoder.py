@@ -211,3 +211,21 @@ def test_bisect_matches_count():
     a = sample_pdf(jax.random.PRNGKey(2), z, w, k, method="count")
     b = sample_pdf(jax.random.PRNGKey(2), z, w, k, method="bisect")
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_save_residual_off_matches_grads():
+    """save_residual=False rematerializes the corner rows in the backward;
+    gradients must match the residual-saving default exactly."""
+    table, pts = _setup(n=64)
+    cfg_off = CFG._replace(save_residual=False)
+    key = jax.random.PRNGKey(7)
+
+    def loss(cfg):
+        def f(t, p):
+            return jnp.sum(fused_hash_encode_t(t, p, cfg, key) ** 2)
+        return jax.grad(f, argnums=(0, 1))(table, pts)
+
+    gt_on, gp_on = loss(CFG)
+    gt_off, gp_off = loss(cfg_off)
+    np.testing.assert_allclose(np.asarray(gt_off), np.asarray(gt_on), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp_off), np.asarray(gp_on), rtol=1e-6)
