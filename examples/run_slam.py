@@ -102,7 +102,7 @@ def main():
     )
     args = ap.parse_args()
 
-    from loner_tpu.config.settings import generate_options, load_settings
+    from loner_tpu.config.settings import generate_options_spec, load_settings
     from loner_tpu.data.dataset import SequenceDataset, write_synthetic_dataset
 
     settings = load_settings(args.config)
@@ -123,7 +123,7 @@ def main():
     if args.overrides:
         with open(args.overrides) as f:
             overrides = yaml.safe_load(f)
-        options = generate_options(settings, overrides, args.run_all_combos)
+        options = generate_options_spec(settings, overrides, args.run_all_combos)
     else:
         options = [(settings, "baseline")]
 

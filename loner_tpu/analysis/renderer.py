@@ -31,9 +31,11 @@ def _render_chunked(
     key=None,
     rgb: bool = False,
     render_strategy: str = "default",
+    peak_consistency: bool = False,
 ):
     """Render arbitrary direction sets in fixed-size chunks (pads the tail).
-    Returns dict of np arrays [depth, variance, opacity(, rgb)]."""
+    Returns dict of np arrays [depth, variance, opacity(, rgb)
+    (, peak_depth)]."""
     render_fn = make_render_fn(
         cfg, test=True, sigma_only=not rgb, render_strategy=render_strategy
     )
@@ -43,6 +45,8 @@ def _render_chunked(
     out = {"depth": [], "variance": [], "opacity": []}
     if rgb:
         out["rgb"] = []
+    if peak_consistency:
+        out["peak_depth"] = []
     pose_j = jnp.asarray(pose, jnp.float32)
     for s in range(0, n, chunk):
         d = dirs[s : s + chunk]
@@ -58,6 +62,14 @@ def _render_chunked(
         out["opacity"].append(np.asarray(r.opacity)[sl])
         if rgb:
             out["rgb"].append(np.asarray(r.rgb)[sl])
+        if peak_consistency:
+            # |z at the argmax weight - expected depth|: large where the
+            # weight distribution is multi-modal / diffuse (reference
+            # peak_depth_consistency, analysis/renderer.py:181-216)
+            w = np.asarray(r.weights)
+            z = np.asarray(r.z_vals)
+            z_peak = z[np.arange(z.shape[0]), np.argmax(w, axis=1)]
+            out["peak_depth"].append(np.abs(z_peak - np.asarray(r.depth))[sl])
     return {k: np.concatenate(v) for k, v in out.items()}
 
 
@@ -111,11 +123,14 @@ def render_camera_image(
     rgb: bool = True,
     distortion: Optional[np.ndarray] = None,
     render_strategy: str = "default",
+    peak_consistency: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Full-image depth + intensity render (``analysis/renderer.py:181-216``
-    renders rgb + depth). ``distortion`` (plumb-bob coeffs) makes the rays
-    follow the real (distorted) pixel grid like the reference's
-    kornia-undistorted ``CameraRayDirections``."""
+    renders rgb + depth + peak-depth-consistency). ``distortion`` (plumb-bob
+    coeffs) makes the rays follow the real (distorted) pixel grid like the
+    reference's kornia-undistorted ``CameraRayDirections``.
+    ``peak_consistency`` adds the |argmax-weight depth - expected depth| map
+    (metric), a per-pixel multi-modality diagnostic."""
     if distortion is not None and np.any(distortion):
         from loner_tpu.data.calibration import CameraCalibration, undistorted_pixel_rays
 
@@ -137,7 +152,7 @@ def render_camera_image(
 
     out = _render_chunked(
         cfg, cube, state, dirs, pose, build, chunk, rgb=rgb,
-        render_strategy=render_strategy,
+        render_strategy=render_strategy, peak_consistency=peak_consistency,
     )
     scale = cfg.world_scale
     result = {
@@ -147,6 +162,8 @@ def render_camera_image(
     }
     if rgb:
         result["rgb"] = np.clip(out["rgb"].reshape(height, width, -1), 0.0, 1.0)
+    if peak_consistency:
+        result["peak_depth"] = (out["peak_depth"] * scale).reshape(height, width)
     return result
 
 

@@ -184,3 +184,33 @@ def generate_options(
                 s.set_path(k, v)
                 results.append((s, f"{k.split('.')[-1]}={v}"))
     return results
+
+
+def generate_options_spec(
+    baseline: Settings, spec: dict, run_all_combos: bool = False
+) -> List[Tuple[Settings, str]]:
+    """Ablation spec from a file: either a flat {dotted.path: [values]} dict
+    (passed straight to ``generate_options``) or the grouped form of
+    ``cfg/ablation_study.yaml`` (the reference's list-of-study-blocks,
+    ``cfg/ablation_study.yaml``):
+
+        groups:
+          - run_all_combos: true      # cartesian within the group
+            overrides: {path: [v..]}
+          - overrides: {path: [v..]}  # one-at-a-time within the group
+
+    The baseline run appears exactly once (from the first group)."""
+    if not (isinstance(spec, dict) and "groups" in spec):
+        return generate_options(baseline, spec, run_all_combos)
+    results: List[Tuple[Settings, str]] = [(copy.deepcopy(baseline), "baseline")]
+    for gi, group in enumerate(spec["groups"]):
+        opts = generate_options(
+            baseline,
+            group.get("overrides", {}),
+            group.get("run_all_combos", run_all_combos),
+        )
+        for s, desc in opts:
+            if desc == "baseline":
+                continue
+            results.append((s, f"g{gi}:{desc}"))
+    return results

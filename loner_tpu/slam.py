@@ -263,3 +263,8 @@ class LonerSLAM:
             # per-window iteration timing + its/s (reference timing.csv,
             # src/mapping/optimizer.py:183-188)
             self.mapper.window_timer.write_csv(os.path.join(out_dir, "timing.csv"))
+            if self.ba_info is not None:
+                import json
+
+                with open(os.path.join(out_dir, "ba_info.json"), "w") as f:
+                    json.dump(self.ba_info, f, indent=1)

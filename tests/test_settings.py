@@ -79,3 +79,63 @@ class TestGenerateOptions:
         assert len(opts) == 4
         vals = {(s.a, s.b) for s, _ in opts}
         assert vals == {(1, 2), (1, 20), (10, 2), (10, 20)}
+
+
+class TestSequenceConfigs:
+    """The committed per-sequence operating points (reference cfg/ tree:
+    fusion_portable/canteen, newer_college/quad, haveri_hpk forest) must
+    load through the tier system and build into SlamConfigs."""
+
+    @pytest.mark.parametrize(
+        "path,ray_range,extra",
+        [
+            ("cfg/fusion_portable/canteen.yaml", [1, 50], {}),
+            ("cfg/newer_college/quad.yaml", [1, 75], {}),
+            (
+                "cfg/haveri_hpk/forest.yaml",
+                [2.5, 45],
+                {"rays_strategy": "MASK", "sky": True},
+            ),
+        ],
+    )
+    def test_sequence_files_build(self, path, ray_range, extra):
+        from loner_tpu.config.build import build_slam_config
+
+        s = load_settings(path)
+        assert list(s.data.ray_range) == ray_range
+        assert s["experiment_name"]
+        assert "meshing_bounding_box" in s
+        cfg = build_slam_config(s, world_scale=20.0)
+        assert cfg.mapper.mapper.ray_range == tuple(ray_range)
+        if extra.get("rays_strategy"):
+            assert cfg.mapper.mapper.rays_strategy == extra["rays_strategy"]
+        if extra.get("sky"):
+            assert s.system.sky_segmentation is True
+
+
+class TestAblationStudyFile:
+    def test_grouped_ablation_spec(self):
+        import yaml
+
+        from loner_tpu.config.settings import generate_options_spec
+
+        base = load_settings("cfg/synthetic_tiny.yaml")
+        with open("cfg/ablation_study.yaml") as f:
+            spec = yaml.safe_load(f)
+        opts = generate_options_spec(base, spec)
+        descs = [d for _, d in opts]
+        assert descs.count("baseline") == 1
+        # cartesian loss group contributes 4 configs, L2_LOS 1, depth-only 1,
+        # sky-off 1, gt-poses 1, window selection 2
+        assert len(opts) >= 9
+        # every option still builds
+        from loner_tpu.config.build import build_slam_config
+
+        for s, d in opts[:3]:
+            build_slam_config(s, world_scale=20.0)
+        # the cartesian group really varied the loss selection
+        sels = {
+            s.get_path("mapper.optimizer.model_config.loss.loss_selection")
+            for s, _ in opts
+        }
+        assert {"L1_JS", "L1_LOS", "L2_LOS"} <= sels
