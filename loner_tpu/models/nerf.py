@@ -56,6 +56,9 @@ class NeRFConfig(NamedTuple):
     encoding_bwd: str = "strided"
     encoding_bwd_stride: int = 2  # fused/strided: keep every k-th slot group
     encoding_slot_period: int = 512  # fused/strided: samples per ray (S)
+    # sequential point chunks for the per-point pipeline (HBM-temp bound);
+    # 1 = single pass (fastest when the batch fits)
+    point_chunks: int = 4
 
     def _triad_for(self, enc: HashEncodingConfig) -> TriadConfig:
         """Per-branch triad config: the hash table is sized from the

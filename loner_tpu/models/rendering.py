@@ -232,7 +232,7 @@ def render_rays(
     sigma_only: bool = False,
     detach_sigma: bool = True,
     render_strategy: str = "default",
-    point_chunks: int = 4,
+    point_chunks: Optional[int] = None,  # None -> cfg.point_chunks
     remat_chunks: bool = False,
     key: Optional[jnp.ndarray] = None,
 ) -> RenderResult:
@@ -244,6 +244,8 @@ def render_rays(
     (training steps must pass it — see NeRFConfig.encoding_bwd).
     """
     n, s = z_vals.shape
+    if point_chunks is None:
+        point_chunks = getattr(cfg, "point_chunks", 4)
     # transposed points (3, N, S): component axis leading, point axes minor
     pts_t = bundle.origins.T[:, :, None] + bundle.directions.T[:, :, None] * z_vals[None]
 

@@ -48,6 +48,7 @@ class TriadConfig(NamedTuple):
     # bf16 features per corner: gather cost is flat in row width up to 64
     # f32 words on v5e (scripts/bench_honest.py), so fat rows are free
     hash_features: int = 16
+    hash_save_residual: bool = True  # VJP residual vs re-gather (fused_encoder)
 
     @property
     def output_dim(self) -> int:
@@ -68,6 +69,7 @@ class TriadConfig(NamedTuple):
             bwd_stride=self.hash_bwd_stride,
             slot_period=slot_period,
             n_features=self.hash_features,
+            save_residual=self.hash_save_residual,
         )
 
 

@@ -102,7 +102,15 @@ def main():
             n_samples_test=samples * 2,
             rays_strategy="MASK",
         )
-        cfg = cfg._replace(nerf=cfg.nerf._replace(encoding_impl=enc, num_colors=1))
+        if enc == "triad_nohash":
+            nerf = cfg.nerf._replace(
+                encoding_impl="triad",
+                num_colors=1,
+                triad=cfg.nerf.triad._replace(hash_levels=0),
+            )
+            cfg = cfg._replace(nerf=nerf)
+        else:
+            cfg = cfg._replace(nerf=cfg.nerf._replace(encoding_impl=enc, num_colors=1))
         t0 = time.time()
         res = optimize_implicit_map(
             cfg,

@@ -146,3 +146,41 @@ class TestConcurrentDeviceSplit:
         # mapper state lives on the mapper mesh, not the tracker device
         state_devs = set(jax.tree.leaves(slam2.mapper.state.params)[0].devices())
         assert jax.devices()[0] not in state_devs
+
+
+class TestDeviceSplitHeuristic:
+    def test_mapper_gets_largest_divisor_of_window(self, sequence):
+        """n=3 devices, window 8 -> mapper on 2 devices (not 1); prime
+        window with no divisor <= n-1 -> 1 device + a warning."""
+        import warnings
+
+        import jax
+
+        scene, poses, ts, cube, scans = sequence
+        n = len(jax.devices())
+        assert n >= 3
+
+        slam = build_slam(cube, float(cube.scale_factor))
+        cfg = slam.cfg
+        cfg.concurrent_device_split = True
+        cfg.mapper.mapper = cfg.mapper.mapper._replace(window_size=8)
+        # simulate n=3 by checking the divisor math directly on the config
+        w = cfg.mapper.mapper.window_size
+        m = max(d for d in range(1, 3) if w % d == 0)
+        assert m == 2
+
+        # full constructor path on the real 8-device mesh: window 8 ->
+        # mapper devices = largest divisor of 8 within the 7 available = 4
+        slam2 = LonerSLAM(cfg, cube)
+        assert slam2.cfg.mapper.mesh_device_indices == [1, 2, 3, 4]
+
+        # prime window: warning + single mapper device
+        cfg2 = build_slam(cube, float(cube.scale_factor)).cfg
+        cfg2.concurrent_device_split = True
+        cfg2.mapper.mapper = cfg2.mapper.mapper._replace(window_size=11)
+        cfg2.mapper.keyframe_manager.window_size = 11
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            slam3 = LonerSLAM(cfg2, cube)
+        assert slam3.cfg.mapper.mesh_device_indices == [1]
+        assert any("no divisor" in str(r.message) for r in rec)
