@@ -1,29 +1,35 @@
-"""CP feature-line interpolation as two-hot MXU matmuls (Pallas TPU).
+"""CP feature-line interpolation via Mosaic lane dynamic-gather (Pallas TPU).
 
 The CP term of TriadField (ops/triad_field.py) evaluates, per level l and
 axis a, a 1-D linear interpolation into a feature line ``L_{l,a} (R_l, F)``
-at 2.36M points/step. Expressed as gathers this costs ~157 ms/step on v5e
-(measured, /tmp/triad_tpu.log protocol: XLA keeps nothing fused around a
-gather and the (N, F) temporaries round-trip HBM). Expressed as a matmul it
-is almost free: interpolation = ``W @ L`` where ``W (N, R)`` is the TWO-HOT
-weight matrix (1-f at i0, f at i0+1). W is never materialized in HBM — each
-kernel program builds its (c, 128) slice in VMEM from an iota comparison
-and feeds the MXU directly. Gradients are the same shape of matmul:
+at 2.36M points/step. Expressed as XLA gathers this costs ~157 ms/step on
+v5e (XLA keeps nothing fused around a gather and the (N, F) temporaries
+round-trip HBM). Inside the kernel, the lines are VMEM-resident (F, 128)
+tiles, so Mosaic's ``tpu.dynamic_gather`` (the lane-axis take_along_axis
+with index tile shape == operand tile shape) makes the lookup a register
+operation:
 
-    dL = W^T @ (g * feat_b * feat_c)        (128, c) x (c, F)
-    dx = sum_F[(g * feat_b * feat_c) * (L^T @ dW/dx)] * (R-1)
+  * forward: v0/v1 lane-gathers + lerp, EXACT f32 — no weight matrix, no
+    matmul, no quantization (the round-3 two-hot-matmul form paid a W-build
+    on the VPU plus an MXU pass per axis-level, 2-3x this cost, and forced
+    a bf16-vs-HIGHEST precision tradeoff this form does not have).
+  * backward dx: regather v0/v1; d feat / d pix = (v1 - v0) * (R-1), exact.
+  * backward dL: the one place the two-hot weight matrix W (1-f at i0, f at
+    i0+1) is still built: dL = (g * feat_b * feat_c) @ W^T on the MXU.
+    ``mm`` selects its operand dtype; f32(HIGHEST) is the default and
+    measured at the same step rate as bf16 (scripts/bench_ab.py r4).
 
-so the CP term has NO random memory access in either direction — the one
-property v5e rewards (SURVEY.md §7.3 "hash-grid scatter-add backward").
+Gather group selection must be a SUBLANE slice (see _axis_lerp) — lane-axis
+slicing of a wide index vector ahead of tpu.dynamic_gather crashes the
+Mosaic compiler.
 
 Line layout: lines_t ``(3*L, F, 128)`` f32, level-major ([lvl0_x, lvl0_y,
 lvl0_z, lvl1_x, ...]), rows padded to 128 (resolutions must be <= 128;
-unused tail rows stay zero and receive zero gradient). Weights live on the
-128-lane axis so no transposes appear anywhere in the hot path.
+unused tail rows stay zero and receive zero gradient).
 
 Plays part of tcnn HashGrid's role from the reference
 (``src/models/nerf_tcnn.py:35-56``); capability parity is judged on the
-L1-depth benchmark (tests/test_cp_kernel.py + scripts/bench_honest.py).
+L1-depth benchmark (tests/test_cp_kernel.py + scripts/exp_encoder_flagship).
 """
 from __future__ import annotations
 
@@ -39,35 +45,54 @@ from jax.experimental.pallas import tpu as pltpu
 CP_PAD_R = 128  # padded line length; = one TPU lane register row
 
 
-def _chunk() -> int:
-    """Points per kernel program. The f32(HIGHEST) path holds ~2x the VMEM
-    of bf16 (w/dw/gother slices at full width + bf16x3 pass buffers) and
-    overflows the 16 MB scoped-vmem limit at 2048."""
-    return 1024 if _MATMUL_DTYPE == jnp.float32 else 2048
+def _chunk(dtype) -> int:
+    """Points per kernel program. The fwd holds no W at all (gather-lerp);
+    the bwd materializes one (128, c) W slice at a time, so 2048 fits the
+    scoped-vmem limit in either matmul dtype."""
+    del dtype
+    return 2048
 
-# Operand dtype for the kernel matmuls. f32 is the default: it is the path the
-# equivalence tests (tests/test_cp_kernel.py) hold to rtol=1e-5 against the
-# gather reference. bf16 runs the MXU at native rate but quantizes W and the
-# lines to ~2^-9 relative; enabling it requires a measured L1-quality
-# justification (scripts/exp_encoder_flagship.py), not just a speedup.
+# Operand dtype for the ONE remaining kernel matmul (the backward dL
+# accumulation — fwd and dx are matmul-free gather-lerps, exact in f32).
+# f32(HIGHEST) is the default and costs the same step rate as bf16
+# (scripts/bench_ab.py r4: 11.65 vs 11.66 it/s), so there is no reason to
+# trade gradient precision.
 _MATMUL_DTYPE = jnp.float32
+_MATMUL_PRECISION = None  # None -> derived from dtype
 
 
-def set_cp_matmul_dtype(dtype) -> None:
-    """Set the operand dtype for the Pallas CP matmuls (f32 or bf16)."""
-    global _MATMUL_DTYPE
+def set_cp_matmul_dtype(dtype, precision=None) -> None:
+    """Set the operand dtype (f32 or bf16) and optionally the MXU precision
+    for the Pallas CP matmuls. precision=None derives it from the dtype."""
+    global _MATMUL_DTYPE, _MATMUL_PRECISION
     _MATMUL_DTYPE = dtype
+    _MATMUL_PRECISION = precision
 
 
 def _mm_precision():
     # TPU MXU default precision multiplies f32 operands as bf16; the f32
-    # path must request HIGHEST (bf16x3 passes) to actually hold the
+    # path must request HIGHEST (bf16x6 passes) to actually hold the
     # rtol=1e-5 equivalence bar. bf16 operands take the native rate.
+    if _MATMUL_PRECISION is not None:
+        return _MATMUL_PRECISION
     return (
         jax.lax.Precision.HIGHEST
         if _MATMUL_DTYPE == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+
+
+def _resolve_mm(mm: str):
+    """mm string -> (operand dtype, MXU precision). "global" defers to the
+    module flags (set_cp_matmul_dtype); configs pass an explicit mode so
+    the choice lives in the jit cache key, not in mutable globals."""
+    if mm == "global":
+        return _MATMUL_DTYPE, _mm_precision()
+    if mm == "f32":
+        return jnp.float32, jax.lax.Precision.HIGHEST
+    if mm == "bf16":
+        return jnp.bfloat16, jax.lax.Precision.DEFAULT
+    raise ValueError(f"unknown cp matmul mode {mm!r}")
 
 
 def init_cp_lines(
@@ -134,45 +159,51 @@ def _build_w(x: jnp.ndarray, res: int, c: int) -> jnp.ndarray:
     return jax.nn.relu(1.0 - jnp.abs(rows - pix[None, :]))
 
 
-def _build_dw(x: jnp.ndarray, res: int, c: int) -> jnp.ndarray:
-    """dW/dx (128, c): (onehot(i0+1) - onehot(i0)) * (res-1), zero outside
-    the clip range."""
-    pix = jnp.clip(x, 0.0, 1.0) * (res - 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CP_PAD_R, c), 0).astype(jnp.float32)
-    d = rows - pix[None, :]
-    live = ((x > 0.0) & (x < 1.0)).astype(jnp.float32)[None, :] * jnp.float32(res - 1)
-    # dW/dpix under floor semantics: -1 at row i0 (d in (-1, 0]), +1 at row
-    # i0+1 (d in (0, 1]). Half-open masks so grid-aligned pix (d == 0 / 1)
-    # still gets the two-hot -1/+1 pair the gather reference produces.
-    dw = jnp.where((d > -1.0) & (d <= 0.0), -1.0, 0.0) + jnp.where(
-        (d > 0.0) & (d <= 1.0), 1.0, 0.0
-    )
-    return dw * live
+def _axis_lerp(line, x2, res: int, n_features: int):
+    """Exact 1-D interpolation of line (F, 128) at x2 (1, c) via Mosaic's
+    lane dynamic-gather (idx shape == operand shape, one 128-lane group at a
+    time) — no W matrix, no matmul, f32 throughout. Returns (feat (F, c),
+    diff (F, c)) with diff = v1 - v0 (the exact d feat / d pix).
+
+    Group selection must be a SUBLANE slice: indices are reshaped
+    (1, c) -> (c/128, 128) first — lane-axis slicing of a wide index vector
+    ahead of tpu.dynamic_gather crashes the Mosaic compiler (verified on
+    libtpu 2026-08; the sublane-slice form compiles and is exact)."""
+    c = x2.shape[-1]
+    g_n = c // 128
+    pix = jnp.clip(x2, 0.0, 1.0) * (res - 1)
+    i0 = jnp.clip(jnp.floor(pix).astype(jnp.int32), 0, res - 2)
+    f = pix - i0.astype(jnp.float32)  # (1, c)
+    i0g = i0.reshape(g_n, 128)
+    fg = f.reshape(g_n, 128)
+    feats, diffs = [], []
+    for g in range(g_n):
+        idx = jnp.broadcast_to(i0g[g : g + 1, :], (n_features, 128))
+        v0 = jnp.take_along_axis(line, idx, axis=1)  # (F, 128)
+        v1 = jnp.take_along_axis(line, idx + 1, axis=1)
+        w = jnp.broadcast_to(fg[g : g + 1, :], (n_features, 128))
+        feats.append(v0 + (v1 - v0) * w)
+        diffs.append(v1 - v0)
+    if len(feats) == 1:
+        return feats[0], diffs[0]
+    return jnp.concatenate(feats, axis=1), jnp.concatenate(diffs, axis=1)
 
 
-def _fwd_kernel(pts_ref, lines_ref, out_ref, *, resolutions, n_features):
+def _fwd_kernel(pts_ref, lines_ref, out_ref, *, resolutions, n_features, mm_dtype, mm_prec):
+    del mm_dtype, mm_prec  # fwd is exact: gather-lerp, no matmul anywhere
     pts = pts_ref[:]  # (3, c)
-    c = pts.shape[-1]
     f_dim = n_features
     for lvl, res in enumerate(resolutions):
-        feats = []
-        for a in range(3):
-            # W built in f32 (pix needs the mantissa); operand dtype for the
-            # matmul is the module flag (f32 default, see set_cp_matmul_dtype)
-            w = _build_w(pts[a], int(res), c).astype(_MATMUL_DTYPE)  # (128, c)
-            feats.append(
-                jnp.dot(
-                    lines_ref[3 * lvl + a].astype(_MATMUL_DTYPE),
-                    w,
-                    preferred_element_type=jnp.float32,
-                    precision=_mm_precision(),
-                )
-            )  # (F, c)
+        feats = [
+            _axis_lerp(lines_ref[3 * lvl + a], pts[a : a + 1, :], int(res), f_dim)[0]
+            for a in range(3)
+        ]
         out_ref[lvl * f_dim : (lvl + 1) * f_dim, :] = feats[0] * feats[1] * feats[2]
 
 
 def _bwd_kernel(
-    pts_ref, lines_ref, g_ref, dlines_ref, dpts_ref, *, resolutions, n_features
+    pts_ref, lines_ref, g_ref, dlines_ref, dpts_ref, *, resolutions, n_features,
+    mm_dtype, mm_prec,
 ):
     j = pl.program_id(0)
 
@@ -186,54 +217,54 @@ def _bwd_kernel(
     dxyz = [jnp.zeros((c,), jnp.float32) for _ in range(3)]
     for lvl, res in enumerate(resolutions):
         gl = g_ref[lvl * f_dim : (lvl + 1) * f_dim, :]  # (F, c)
-        line_bf = [lines_ref[3 * lvl + a].astype(_MATMUL_DTYPE) for a in range(3)]
-        ws = [_build_w(pts[a], int(res), c).astype(_MATMUL_DTYPE) for a in range(3)]
-        feats = [
-            jnp.dot(
-                line_bf[a],
-                ws[a],
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(),
-            )
+        # exact regather-lerp (same primitive as fwd): feats + d feat / d pix
+        fd = [
+            _axis_lerp(lines_ref[3 * lvl + a], pts[a : a + 1, :], int(res), f_dim)
             for a in range(3)
         ]
+        feats = [f for f, _ in fd]
         for a in range(3):
+            res_f = jnp.float32(res - 1)
+            live = (pts[a] > 0.0) & (pts[a] < 1.0)
             gother = gl * feats[(a + 1) % 3] * feats[(a + 2) % 3]  # (F, c)
-            # dL (F, 128) = gother (F, c) @ W^T — contract the c axes
+            # dx: exact — gother . (v1 - v0) * (res-1), zero through the clip
+            diff = fd[a][1]  # (F, c)
+            dxa = jnp.sum(gother * diff, axis=0) * res_f
+            dxyz[a] = dxyz[a] + jnp.where(live, dxa, 0.0)
+            # dL (F, 128) = gother (F, c) @ W^T — the one place W (two-hot
+            # interp weights) is still materialized; mm_dtype applies HERE
+            # only (bf16 perturbs a gradient, never the function value)
+            w = _build_w(pts[a], int(res), c).astype(mm_dtype)  # (128, c)
             dl = jax.lax.dot_general(
-                gother.astype(_MATMUL_DTYPE),
-                ws[a],
+                gother.astype(mm_dtype),
+                w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=_mm_precision(),
+                precision=mm_prec,
             )
             dlines_ref[3 * lvl + a] = dlines_ref[3 * lvl + a] + dl
-            dw = _build_dw(pts[a], int(res), c).astype(_MATMUL_DTYPE)  # (128, c)
-            diff = jnp.dot(
-                line_bf[a], dw, preferred_element_type=jnp.float32,
-                precision=_mm_precision(),
-            )  # (F, c)
-            dxyz[a] = dxyz[a] + jnp.sum(gother * diff, axis=0)
     dpts_ref[0, :] = dxyz[0]
     dpts_ref[1, :] = dxyz[1]
     dpts_ref[2, :] = dxyz[2]
 
 
-def _pad_pts(pts_t: jnp.ndarray):
+def _pad_pts(pts_t: jnp.ndarray, mm_dtype):
     n = pts_t.shape[-1]
-    c = min(_chunk(), ((n + 127) // 128) * 128)
+    c = min(_chunk(mm_dtype), ((n + 127) // 128) * 128)
     pad = (-n) % c
     if pad:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, pad)))
     return pts_t, n, c
 
 
-def _fwd_pallas(lines_t, pts_t, resolutions, n_features):
-    pts_p, n, c = _pad_pts(pts_t)
+def _fwd_pallas(lines_t, pts_t, resolutions, n_features, mm="global"):
+    mm_dtype, mm_prec = _resolve_mm(mm)
+    pts_p, n, c = _pad_pts(pts_t, mm_dtype)
     np_ = pts_p.shape[-1]
     nl = len(resolutions)
     out = pl.pallas_call(
-        partial(_fwd_kernel, resolutions=resolutions, n_features=n_features),
+        partial(_fwd_kernel, resolutions=resolutions, n_features=n_features,
+                mm_dtype=mm_dtype, mm_prec=mm_prec),
         grid=(np_ // c,),
         in_specs=[
             pl.BlockSpec((3, c), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -251,13 +282,15 @@ def _fwd_pallas(lines_t, pts_t, resolutions, n_features):
     return out[:, :n]
 
 
-def _bwd_pallas(lines_t, pts_t, g, resolutions, n_features):
-    pts_p, n, c = _pad_pts(pts_t)
+def _bwd_pallas(lines_t, pts_t, g, resolutions, n_features, mm="global"):
+    mm_dtype, mm_prec = _resolve_mm(mm)
+    pts_p, n, c = _pad_pts(pts_t, mm_dtype)
     np_ = pts_p.shape[-1]
     nl = len(resolutions)
     g_p = jnp.pad(g, ((0, 0), (0, np_ - n))) if np_ != n else g
     dlines, dpts = pl.pallas_call(
-        partial(_bwd_kernel, resolutions=resolutions, n_features=n_features),
+        partial(_bwd_kernel, resolutions=resolutions, n_features=n_features,
+                mm_dtype=mm_dtype, mm_prec=mm_prec),
         grid=(np_ // c,),
         in_specs=[
             pl.BlockSpec((3, c), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -293,25 +326,28 @@ def _use_pallas() -> bool:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def cp_encode_t(lines_t, pts_t, resolutions: Tuple[int, ...], n_features: int):
-    """(L*F, N) CP features of pts_t (3, N) in [0, 1]."""
-    out, _ = _cp_fwd(lines_t, pts_t, resolutions, n_features)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def cp_encode_t(
+    lines_t, pts_t, resolutions: Tuple[int, ...], n_features: int, mm: str = "global"
+):
+    """(L*F, N) CP features of pts_t (3, N) in [0, 1]. ``mm`` selects the
+    kernel matmul mode ("f32" | "bf16" | "global")."""
+    out, _ = _cp_fwd(lines_t, pts_t, resolutions, n_features, mm)
     return out
 
 
-def _cp_fwd(lines_t, pts_t, resolutions, n_features):
+def _cp_fwd(lines_t, pts_t, resolutions, n_features, mm="global"):
     if _use_pallas():
-        out = _fwd_pallas(lines_t, pts_t, resolutions, n_features)
+        out = _fwd_pallas(lines_t, pts_t, resolutions, n_features, mm)
     else:
         out = cp_encode_ref(lines_t, pts_t, resolutions)
     return out, (lines_t, pts_t)
 
 
-def _cp_bwd(resolutions, n_features, resids, g):
+def _cp_bwd(resolutions, n_features, mm, resids, g):
     lines_t, pts_t = resids
     if _use_pallas():
-        return _bwd_pallas(lines_t, pts_t, g, resolutions, n_features)
+        return _bwd_pallas(lines_t, pts_t, g, resolutions, n_features, mm)
     _, vjp = jax.vjp(lambda l, p: cp_encode_ref(l, p, resolutions), lines_t, pts_t)
     return vjp(g)
 

@@ -49,6 +49,10 @@ class TriadConfig(NamedTuple):
     # f32 words on v5e (scripts/bench_honest.py), so fat rows are free
     hash_features: int = 16
     hash_save_residual: bool = True  # VJP residual vs re-gather (fused_encoder)
+    # CP kernel matmul mode: "f32" (HIGHEST precision, the rtol=1e-5
+    # equivalence-tested path) | "bf16" (MXU-native
+    # rate; requires the measured L1 justification in ENCODER_EXP_*.json)
+    cp_dtype: str = "f32"
 
     @property
     def output_dim(self) -> int:
@@ -115,7 +119,9 @@ def triad_encode_t(
         from loner_tpu.ops.cp_kernel import cp_encode_t
 
         feats.append(
-            cp_encode_t(params["cp"], pts_t, cfg.cp_resolutions, cfg.cp_features)
+            cp_encode_t(
+                params["cp"], pts_t, cfg.cp_resolutions, cfg.cp_features, cfg.cp_dtype
+            )
         )
     if cfg.fourier_freqs > 0:
         feats.append(fourier_encode_t(pts_t, cfg.fourier_freqs))

@@ -46,6 +46,17 @@ def apply_variant(cfg, name: str):
     if name == "cp_more_fourier":  # no hash, wider CP + more fourier detail
         t = nerf.triad._replace(hash_levels=0, cp_features=32, fourier_freqs=8)
         return cfg._replace(nerf=nerf._replace(triad=t)), lambda: set_cp_matmul_dtype(jnp.float32)
+    if name == "fast":  # cp bf16 + no hash level + single point pass
+        t = nerf.triad._replace(hash_levels=0)
+        return (
+            cfg._replace(nerf=nerf._replace(triad=t, point_chunks=1)),
+            lambda: set_cp_matmul_dtype(jnp.bfloat16),
+        )
+    if name == "fast_hash":  # cp bf16 + single point pass, hash kept
+        return (
+            cfg._replace(nerf=nerf._replace(point_chunks=1)),
+            lambda: set_cp_matmul_dtype(jnp.bfloat16),
+        )
     raise ValueError(name)
 
 

@@ -102,15 +102,23 @@ def main():
             n_samples_test=samples * 2,
             rays_strategy="MASK",
         )
-        if enc == "triad_nohash":
-            nerf = cfg.nerf._replace(
-                encoding_impl="triad",
-                num_colors=1,
-                triad=cfg.nerf.triad._replace(hash_levels=0),
-            )
-            cfg = cfg._replace(nerf=nerf)
-        else:
-            cfg = cfg._replace(nerf=cfg.nerf._replace(encoding_impl=enc, num_colors=1))
+        # encoder spec: "triad" | "fused" | "cell" | "triad_nohash" |
+        # "triad:cp=bf16" | "triad:cp=bf16,hash=0" (triad knob overrides)
+        impl, _, knobs = enc.partition(":")
+        triad = cfg.nerf.triad
+        if impl == "triad_nohash":
+            impl, knobs = "triad", (knobs + ",hash=0").strip(",")
+        for kv in filter(None, knobs.split(",")):
+            k, v = kv.split("=")
+            if k == "cp":
+                triad = triad._replace(cp_dtype=v)
+            elif k == "hash":
+                triad = triad._replace(hash_levels=int(v))
+            else:
+                raise ValueError(f"unknown triad knob {k!r}")
+        cfg = cfg._replace(
+            nerf=cfg.nerf._replace(encoding_impl=impl, num_colors=1, triad=triad)
+        )
         t0 = time.time()
         res = optimize_implicit_map(
             cfg,

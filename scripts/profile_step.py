@@ -37,6 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cp", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--hash", type=int, default=1, help="triad hash levels")
+    ap.add_argument("--chunks", type=int, default=4, help="point chunks")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship
@@ -52,6 +55,12 @@ def main():
 
     cfg, cube, state, window = _flagship()
     cfg = cfg._replace(n_samples_train=args.samples)
+    triad = cfg.nerf.triad._replace(cp_dtype=args.cp, hash_levels=args.hash)
+    cfg = cfg._replace(nerf=cfg.nerf._replace(triad=triad, point_chunks=args.chunks))
+    if args.hash != 1:
+        from loner_tpu.mapping.optimizer import init_mapper_state
+        state = init_mapper_state(jax.random.PRNGKey(0), cfg)
+    print(f"cp={args.cp} hash={args.hash} chunks={args.chunks}")
     key = jax.random.PRNGKey(0)
     n_pts = cfg.rays_per_window * cfg.n_samples_train
     print(f"rays/window={cfg.rays_per_window}  samples={cfg.n_samples_train}  pts={n_pts/1e6:.2f}M")
