@@ -65,6 +65,11 @@ class MapperConfig(NamedTuple):
     # ``iteration`` advance — see OnlineMapper)
     rays_strategy: str = "RANDOM"
     mask_band_fraction: float = 0.75
+    # sequential point chunks for the TRAIN step's field pipeline. 1 =
+    # single pass — measured ~9% faster at the flagship 2.36M-point batch
+    # (scripts/bench_ab.py r4) and well inside 16 GB HBM; eval renders keep
+    # NeRFConfig.point_chunks (test batches are ~10x larger).
+    train_point_chunks: int = 1
 
     lr_sigma: float = 0.01
     lr_rgb: float = 0.01
@@ -261,7 +266,8 @@ def make_train_step_body(cfg: MapperConfig, cube):
             )
 
         render = render_rays(
-            params, bundle, z_vals, cfg.nerf, sigma_only=True, key=k_enc
+            params, bundle, z_vals, cfg.nerf, sigma_only=True, key=k_enc,
+            point_chunks=cfg.train_point_chunks,
         )
         loss, aux = compute_lidar_loss(
             render, bundle, scale, cfg.loss, global_step, iteration

@@ -57,6 +57,16 @@ def apply_variant(cfg, name: str):
             cfg._replace(nerf=nerf._replace(point_chunks=1)),
             lambda: set_cp_matmul_dtype(jnp.bfloat16),
         )
+    if name == "small_hash":  # 4 MB hash table: gathers from a <4 MB operand
+        # run far cheaper on v5e (scripts/bench_honest.py). NeRFConfig derives
+        # triad.hash_log2_cells from the branch encoding (log2 - 2)
+        enc = nerf.pos_encoding_sigma._replace(log2_hashmap_size=16)
+        return (
+            cfg._replace(
+                nerf=nerf._replace(pos_encoding_sigma=enc, point_chunks=1)
+            ),
+            lambda: set_cp_matmul_dtype(jnp.float32),
+        )
     raise ValueError(name)
 
 

@@ -114,6 +114,16 @@ def main():
                 triad = triad._replace(cp_dtype=v)
             elif k == "hash":
                 triad = triad._replace(hash_levels=int(v))
+            elif k == "hlog2":
+                # NeRFConfig derives triad.hash_log2_cells from the branch
+                # encoding's log2_hashmap_size - 2
+                cfg = cfg._replace(
+                    nerf=cfg.nerf._replace(
+                        pos_encoding_sigma=cfg.nerf.pos_encoding_sigma._replace(
+                            log2_hashmap_size=int(v) + 2
+                        )
+                    )
+                )
             else:
                 raise ValueError(f"unknown triad knob {k!r}")
         cfg = cfg._replace(
