@@ -100,6 +100,13 @@ def main():
         "--profile", action="store_true",
         help="write a jax.profiler trace under <out>/profile (reference loner.py:175-186)",
     )
+    ap.add_argument(
+        "--parallel", type=int, default=1,
+        help="worker processes for ablation grids x repeats (the reference "
+        "farms trials across GPUs via a job queue, run_loner.py:394-424; "
+        "here workers are CPU processes — a single TPU chip cannot be "
+        "shared, so parallel>1 forces JAX_PLATFORMS=cpu in the workers)",
+    )
     args = ap.parse_args()
 
     from loner_tpu.config.settings import generate_options_spec, load_settings
@@ -127,6 +134,7 @@ def main():
     else:
         options = [(settings, "baseline")]
 
+    jobs = []
     for ci, (cfg_i, desc) in enumerate(options):
         for trial in range(args.num_repeats):
             out = base_out
@@ -134,8 +142,55 @@ def main():
                 out = os.path.join(out, f"config_{ci}_{desc.replace('=', '_')}")
             if args.num_repeats > 1:
                 out = os.path.join(out, f"trial_{trial}")
+            jobs.append((ci, desc, trial, cfg_i, out))
+
+    if args.parallel <= 1 or len(jobs) <= 1:
+        for ci, desc, trial, cfg_i, out in jobs:
             print(f"[run_slam] config {ci} ({desc}) trial {trial} -> {out}")
             run_trial(cfg_i, dataset, out, args.gt_poses, profile=args.profile)
+        return
+
+    # trial farm (reference run_loner.py:394-424: a GPU job queue). Workers
+    # are separate CPU processes: each run_trial holds big device state, and
+    # the one TPU chip cannot be shared — so workers pin JAX_PLATFORMS=cpu.
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    print(f"[run_slam] farming {len(jobs)} trials over {args.parallel} CPU workers")
+    with cf.ProcessPoolExecutor(
+        max_workers=args.parallel, mp_context=mp.get_context("spawn")
+    ) as pool:
+        futs = {
+            pool.submit(
+                _parallel_worker,
+                cfg_i.to_dict(),
+                args.dataset,
+                settings.data.get("scan_points_budget"),
+                out,
+                args.gt_poses,
+            ): (ci, desc, trial, out)
+            for ci, desc, trial, cfg_i, out in jobs
+        }
+        for fut in cf.as_completed(futs):
+            ci, desc, trial, out = futs[fut]
+            err = fut.exception()
+            status = f"FAILED: {err}" if err else f"ate={fut.result()}"
+            print(f"[run_slam] config {ci} ({desc}) trial {trial} done ({status})")
+
+
+def _parallel_worker(settings_dict, dataset_path, pad_to, out_dir, use_gt):
+    """One farmed trial in a fresh process (spawn): force the CPU backend
+    before jax initializes, rebuild Settings/dataset, run."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from loner_tpu.config.settings import Settings
+    from loner_tpu.data.dataset import SequenceDataset
+
+    dataset = SequenceDataset(dataset_path, pad_to=pad_to)
+    return run_trial(Settings(settings_dict), dataset, out_dir, use_gt)
 
 
 if __name__ == "__main__":

@@ -167,6 +167,22 @@ def build_loop_closure_config(settings: Settings):
     )
 
 
+def build_debug_flags(settings: Settings):
+    """The cfg ``debug:`` block's visual-dump flags (the reference's
+    ``debug.flags`` pcd/plot dumps) -> runtime/debug_dump.DebugFlags.
+    ``dump_dir`` stays None here; LonerSLAM points it at <out_dir>/debug."""
+    from loner_tpu.runtime.debug_dump import DebugFlags
+
+    flags = settings.debug.get("flags", Settings())
+    return DebugFlags(
+        global_enabled=settings.debug.get("global_enabled", False),
+        draw_icp_clouds=flags.get("draw_icp_clouds", False),
+        draw_rays=flags.get("draw_rays", False),
+        draw_samples=flags.get("draw_samples", False),
+        draw_loss_distribution=flags.get("draw_loss_distribution", False),
+    )
+
+
 def build_slam_config(settings: Settings, world_scale: float) -> SlamConfig:
     return SlamConfig(
         tracker=build_tracker_config(settings),
@@ -184,6 +200,7 @@ def build_slam_config(settings: Settings, world_scale: float) -> SlamConfig:
                 settings.debug.global_enabled
                 and settings.debug.flags.get("log_losses", False)
             ),
+            debug=build_debug_flags(settings),
         ),
         single_threaded=settings.system.single_threaded,
         max_time_delta=settings.system.synchronization.max_time_delta,

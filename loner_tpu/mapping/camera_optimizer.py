@@ -41,12 +41,57 @@ class CameraWindow(NamedTuple):
         return self.intensities.shape[0]
 
 
+def upsample_images(
+    images: np.ndarray,  # (B, H, W, C)
+    masks: np.ndarray,  # (B, H, W)
+    K: np.ndarray,  # (3, 3)
+    factor: int = 2,
+):
+    """Bilinear image upsample with intrinsics rescale — the reference's
+    optional 2x RGB-phase upsampling (``fdt_optimize_implicit_map.py:
+    730-889``): more pixel samples per surface point without touching the
+    field. Masks are nearest-sampled (a mask is a set, not a signal).
+    Returns (images', masks', K')."""
+    if factor <= 1:
+        return images, masks, K
+    b, h, w, c = images.shape
+    nh, nw = h * factor, w * factor
+    # align-corners=False mapping: out pixel center -> src coordinate
+    ys = (np.arange(nh) + 0.5) / factor - 0.5
+    xs = (np.arange(nw) + 0.5) / factor - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 2)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 2)
+    fy = np.clip(ys - y0, 0.0, 1.0)[None, :, None, None]  # (1, nh, 1, 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, None, :, None]  # (1, 1, nw, 1)
+    g = images[:, y0][:, :, x0]  # (B, nh, nw, C) corner 00 via fancy index
+    g01 = images[:, y0][:, :, x0 + 1]
+    g10 = images[:, y0 + 1][:, :, x0]
+    g11 = images[:, y0 + 1][:, :, x0 + 1]
+    up = (
+        g * (1 - fy) * (1 - fx)
+        + g01 * (1 - fy) * fx
+        + g10 * fy * (1 - fx)
+        + g11 * fy * fx
+    ).astype(np.float32)
+    yn = np.clip(np.round(ys).astype(np.int64), 0, h - 1)
+    xn = np.clip(np.round(xs).astype(np.int64), 0, w - 1)
+    masks_up = masks[:, yn][:, :, xn]
+    # intrinsics: this codebase's K maps rays to CONTINUOUS pixel coords
+    # (index + 0.5, see _sample_camera_rays), where upsampling is exactly
+    # x' = f * x — so K' = diag(f, f, 1) @ K, no half-pixel offset
+    Kp = np.asarray(K, np.float64).copy()
+    Kp[:2] *= factor
+    return up, masks_up, Kp
+
+
 def stack_camera_window(
     images: np.ndarray,  # (B, H, W, C)
     masks: np.ndarray,  # (B, H, W)
     poses: np.ndarray,  # (B, 4, 4)
     K: np.ndarray,  # (3, 3)
+    upsample: int = 1,  # 2 = the reference's RGB-phase 2x option
 ) -> CameraWindow:
+    images, masks, K = upsample_images(images, masks, K, upsample)
     pose6 = np.asarray(
         jax.jit(se3.matrix_to_pose)(jnp.asarray(poses, jnp.float32))
     )
@@ -102,8 +147,15 @@ def _sample_camera_rays(
     return bundle, target
 
 
-def make_camera_train_step(cfg: MapperConfig, cube, n_rays: int = 4096):
-    """Jitted intensity-branch train step over a CameraWindow."""
+def make_camera_train_step(cfg: MapperConfig, cube, n_rays: int = 4096, mesh=None):
+    """Jitted intensity-branch train step over a CameraWindow.
+
+    With ``mesh`` set, the step's inputs and outputs are pinned replicated on
+    that mesh, so running the camera phase between mesh-sharded lidar steps
+    cannot silently migrate the MapperState onto the default device (ADVICE
+    r04 medium: a plain jit consuming a sharded state changes placement for
+    subsequent sharded steps). The camera pass is small (n_rays ≪ the lidar
+    batch), so replication — not DP — is the right sharding for it."""
     _, tx_intensity, _, _ = make_optimizers(cfg)
 
     def _forward(params, occ_grid, window, key):
@@ -123,8 +175,7 @@ def make_camera_train_step(cfg: MapperConfig, cube, n_rays: int = 4096):
         )
         return compute_camera_loss(render, target, bundle.valid, cfg.loss)
 
-    @jax.jit
-    def camera_step(state: MapperState, window: CameraWindow, key: jax.Array):
+    def _camera_step(state: MapperState, window: CameraWindow, key: jax.Array):
         (loss, aux), grads = jax.value_and_grad(_forward, has_aux=True)(
             state.params, state.occ_grid, window, key
         )
@@ -146,6 +197,18 @@ def make_camera_train_step(cfg: MapperConfig, cube, n_rays: int = 4096):
         aux = dict(aux)
         aux["loss"] = loss
         return new_state, aux
+
+    if mesh is None:
+        return jax.jit(_camera_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(_camera_step, out_shardings=(repl, repl))
+
+    def camera_step(state, window, key):
+        # no-op once the state is already replicated on the mesh
+        return jitted(jax.device_put(state, repl), jax.device_put(window, repl), key)
 
     return camera_step
 

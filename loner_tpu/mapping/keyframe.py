@@ -38,6 +38,9 @@ class KeyFrame:
     # the match resolves when the image arrives) by OnlineMapper.attach_image
     image: Optional[np.ndarray] = None  # (H, W, C) float32 in [0, 1]
     image_timestamp: Optional[float] = None
+    # dynamic-object mask for the image (True = trainable/static pixel;
+    # data/dynamic_mask.py sources) — consumed by the online camera phase
+    image_mask: Optional[np.ndarray] = None  # (H, W) bool
     # MASK ray-selection support (FDT trunk-band sampling,
     # src/mapping/optimizer.py:367-379): indices of scan points whose WORLD
     # z lies in the trunk band, cyclically padded to the scan budget so

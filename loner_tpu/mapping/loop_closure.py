@@ -39,6 +39,12 @@ class LoopClosureConfig:
     min_index_gap: int = 8  # candidate pairs must be this many KFs apart
     max_candidate_distance_m: float = 4.0
     max_candidates: int = 16  # ICP budget per finish() call
+    # suppress candidate pairs within this index radius of an already-chosen
+    # pair (spread the ICP budget along the loop). Radius 1 keeps enough
+    # revisit pairs to tie INTRA-lap drift down — with a sparser graph the
+    # drift between tie points is unobservable and BA can only repair the
+    # endpoint (measured on the yaw-drift e2e case, r5)
+    suppression_radius: int = 1
     # accept gates: fitness ~0.5 is normal for partial-overlap spinning-lidar
     # scans (sky misses), so the rmse gate carries most of the rejection work
     min_fitness: float = 0.35
@@ -90,7 +96,8 @@ def find_candidates(
     for d, i, j in cands:
         # suppress near-duplicates of already-chosen pairs so the ICP budget
         # spreads over the loop instead of burning on one corner
-        if any(abs(i - a) <= 2 and abs(j - b) <= 2 for a, b in out):
+        r = cfg.suppression_radius
+        if any(abs(i - a) <= r and abs(j - b) <= r for a, b in out):
             continue
         out.append((i, j))
         if len(out) >= cfg.max_candidates:

@@ -82,6 +82,11 @@ class OnlineCameraConfig:
     lidar_to_camera: Optional[np.ndarray] = None  # (4, 4): cam pose = kf pose @ this
     iterations_per_window: int = 20
     n_rays: int = 1024
+    # dynamic-object masking (reference: SAM masks written into the bag,
+    # rosbag_utils/adjust_bags.py:16-60): called with the attached (H, W, C)
+    # image, returns an (H, W) bool mask, True = trainable/static. Composable
+    # from data/dynamic_mask.py sources; None = all pixels trainable.
+    mask_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None
 
 
 @dataclass
@@ -106,6 +111,15 @@ class OnlineMapperConfig:
     # concurrent programs on disjoint devices (the PP axis)
     mesh_device_indices: Optional[List[int]] = None
     camera: OnlineCameraConfig = field(default_factory=OnlineCameraConfig)
+    # visual-dump observability (reference debug.flags pcd/plot dumps,
+    # src/mapping/optimizer.py:391-396,927-1017) — see runtime/debug_dump.py
+    debug: "DebugFlags" = None  # set in __post_init__
+
+    def __post_init__(self):
+        if self.debug is None:
+            from loner_tpu.runtime.debug_dump import DebugFlags
+
+            self.debug = DebugFlags()
 
 
 class OnlineMapper:
@@ -142,6 +156,11 @@ class OnlineMapper:
         # advances past the 1000-iteration first-keyframe phase
         self._opt_count = 0
         self._camera_step = None  # built lazily on the first image window
+        self._debug_probe = None  # built lazily on the first flagged window
+        # attach observability (ADVICE r04: silent drops hide a mis-set
+        # frame_match_tolerance): successful / failed image->keyframe matches
+        self.image_attaches = 0
+        self.image_attach_drops = 0
         self.map_times: List[float] = []
         self.its_per_sec_log: List[float] = []
         self.window_timer = WindowTimer()  # per-window timing.csv rows
@@ -257,6 +276,8 @@ class OnlineMapper:
         jax.block_until_ready(self.state.params)
         if loss_rows:
             self._write_loss_csvs(len(self.kf_manager), loss_rows)
+        if self.cfg.debug is not None and self.cfg.debug.mapper_any:
+            self._dump_debug_probe(window)
         self.window_timer.stop(n_iters)
         dt_opt = time.time() - t_opt
         if dt_opt > 0:
@@ -276,18 +297,60 @@ class OnlineMapper:
         return True
 
     # ------------------------------------------------------------------
+    def _dump_debug_probe(self, window):
+        """Run the jitted observation pass once for this window and write
+        ray/sample pcds + loss-distribution plots (runtime/debug_dump.py)."""
+        from loner_tpu.mapping.optimizer import make_debug_probe
+        from loner_tpu.runtime.debug_dump import dump_window_probe
+
+        if self._debug_probe is None:
+            self._debug_probe = make_debug_probe(self.cfg.mapper, self.cube)
+        self._key, sub = jax.random.split(self._key)
+        out = self._debug_probe(self.state, window, sub, jnp.asarray(0))
+        dump_window_probe(
+            self.cfg.debug,
+            f"keyframe_{len(self.kf_manager)}",
+            jax.tree.map(np.asarray, out),
+            scale=self.cfg.mapper.world_scale,
+            shift=np.asarray(self.cube.shift, np.float32).reshape(-1)[:3],
+        )
+
+    # ------------------------------------------------------------------
     # online camera mode
     # ------------------------------------------------------------------
-    def attach_image(self, scan, image, image_timestamp: float) -> bool:
-        """Attach a matched image to the keyframe holding ``scan`` (object
-        identity — FrameSynthesis matches the same LidarScan the mapper was
-        fed). Returns False if that scan never became a keyframe."""
+    def attach_image(
+        self,
+        scan,
+        image,
+        image_timestamp: float,
+        scan_timestamp: Optional[float] = None,
+        mask: Optional[np.ndarray] = None,
+    ) -> bool:
+        """Attach a matched image to the keyframe holding ``scan``. Keyed by
+        the scan timestamp when provided (robust across scan copies — e.g. a
+        process boundary or motion-comp rebuild), falling back to object
+        identity. An explicit ``mask`` (or ``camera.mask_fn``) becomes the
+        keyframe's dynamic-object pixel mask. Returns False if that scan
+        never became a keyframe (counted in ``image_attach_drops``)."""
+        target = None
         for kf in reversed(self.kf_manager.keyframes):
+            if scan_timestamp is not None and abs(kf.timestamp - scan_timestamp) < 1e-6:
+                target = kf
+                break
             if kf.scan is scan:
-                kf.image = np.asarray(image, np.float32)
-                kf.image_timestamp = image_timestamp
-                return True
-        return False
+                target = kf
+                break
+        if target is None:
+            self.image_attach_drops += 1
+            return False
+        target.image = np.asarray(image, np.float32)
+        target.image_timestamp = image_timestamp
+        if mask is None and self.cfg.camera.mask_fn is not None:
+            mask = self.cfg.camera.mask_fn(target.image)
+        if mask is not None:
+            target.image_mask = np.asarray(mask, bool)
+        self.image_attaches += 1
+        return True
 
     def _run_camera_phase(self, window_kfs) -> int:
         """The decoupled RGB pass over the window's image-carrying keyframes:
@@ -312,7 +375,11 @@ class OnlineMapper:
         imgs, masks, cam_poses = [], [], []
         for k in kfs[:b]:
             imgs.append(np.asarray(k.image, np.float32))
-            masks.append(np.ones(k.image.shape[:2], bool))
+            masks.append(
+                np.asarray(k.image_mask, bool)
+                if k.image_mask is not None
+                else np.ones(k.image.shape[:2], bool)
+            )
             T = np.asarray(se3.pose_to_matrix(jnp.asarray(poses_np[k.pose_index])))
             cam_poses.append(T @ t_lc)
         while len(imgs) < b:  # static batch: pad with masked-out copies
@@ -324,7 +391,7 @@ class OnlineMapper:
         )
         if self._camera_step is None:
             self._camera_step = make_camera_train_step(
-                self.cfg.mapper, self.cube, n_rays=cam.n_rays
+                self.cfg.mapper, self.cube, n_rays=cam.n_rays, mesh=self.mesh
             )
         for _ in range(cam.iterations_per_window):
             self._key, sub = jax.random.split(self._key)

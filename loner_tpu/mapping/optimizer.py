@@ -423,6 +423,57 @@ def make_train_step(cfg: MapperConfig, cube, donate: bool = False, out_shardings
     return train_step
 
 
+def make_debug_probe(cfg: MapperConfig, cube):
+    """One jitted observation pass over a window: the train step's exact ray
+    build + sampler + render, but returning per-ray/per-point diagnostics
+    instead of gradients (the reference dumps these from inside its train
+    loop, ``src/mapping/optimizer.py:391-396,927-1017``; keeping the dump
+    out of the hot jitted step is the TPU-shaped equivalent). Returns
+    cube-frame arrays; runtime/debug_dump.py converts to world metric."""
+
+    @jax.jit
+    def probe(state: MapperState, window, key: jax.Array, iteration):
+        k_rays, k_samp, k_enc = jax.random.split(key, 3)
+        bundle = build_window_rays(
+            state.poses, window, cube, cfg, k_rays, iteration
+        )
+        if cfg.samples_strategy == "OGM":
+            z_vals = sampling.occ_grid_sampler_z_vals(
+                k_samp, bundle, state.occ_grid, cfg.n_samples_train, cfg.perturb
+            )
+        else:
+            z_vals = sampling.uniform_sampler_z_vals(
+                k_samp, bundle, cfg.n_samples_train, cfg.perturb
+            )
+        render = render_rays(
+            state.params, bundle, z_vals, cfg.nerf, sigma_only=True,
+            key=k_enc, point_chunks=cfg.train_point_chunks,
+        )
+        _, aux = compute_lidar_loss(
+            render, bundle, cfg.world_scale, cfg.loss,
+            state.global_step.astype(jnp.float32),
+            jnp.asarray(iteration).astype(jnp.float32),
+            return_per_ray=True,
+        )
+        pr = aux["per_ray"]
+        points = (
+            bundle.origins[:, None, :]
+            + bundle.directions[:, None, :] * z_vals[..., None]
+        )
+        return {
+            "origins": bundle.origins,
+            "endpoints": bundle.origins + bundle.directions * render.depth[:, None],
+            "points": points,
+            "weights": render.weights,
+            "valid": bundle.valid,
+            "depth_err": pr["depth_err_m"],
+            "js": pr["js"],
+            "los": pr["los"],
+        }
+
+    return probe
+
+
 @lru_cache(maxsize=32)
 def make_render_fn(
     cfg: MapperConfig,

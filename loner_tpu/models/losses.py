@@ -114,11 +114,15 @@ def compute_lidar_loss(
     cfg: LossConfig,
     global_step,
     iteration,
+    return_per_ray: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full lidar loss (depth MSE + LOS/JS + opacity), mask-aware.
 
     Returns (scalar loss, aux dict). Matches ``Optimizer.compute_loss``
-    (``src/mapping/optimizer.py:701-859``).
+    (``src/mapping/optimizer.py:701-859``). ``return_per_ray`` (static;
+    used only by the debug probe, never the train step) adds the pre-mean
+    per-ray vectors to aux for loss-distribution dumps (the reference's
+    ``plot_loss_distribution``, ``optimizer.py:927-1017``).
     """
     valid = bundle.valid
     depth_gt_cube = bundle.depth  # (N,)
@@ -185,6 +189,14 @@ def compute_lidar_loss(
         "n_opaque": jnp.sum(opaque.astype(jnp.float32)),
         "n_valid": jnp.sum(valid.astype(jnp.float32)),
     }
+    if return_per_ray:
+        aux["per_ray"] = {
+            "depth_err_m": depth_pred_metric - depth_gt_metric[:, 0],
+            "js": js,
+            "los": jnp.mean(per_elem, axis=1),
+            "valid": valid,
+            "opaque": opaque,
+        }
     return loss, aux
 
 

@@ -16,8 +16,10 @@ operation:
   * backward dx: regather v0/v1; d feat / d pix = (v1 - v0) * (R-1), exact.
   * backward dL: the one place the two-hot weight matrix W (1-f at i0, f at
     i0+1) is still built: dL = (g * feat_b * feat_c) @ W^T on the MXU.
-    ``mm`` selects its operand dtype; f32(HIGHEST) is the default and
-    measured at the same step rate as bf16 (scripts/bench_ab.py r4).
+    ``mm`` selects its operand dtype; f32(HIGHEST) is the default (the
+    rtol=1e-5 equivalence-tested path). The r4 "f32 == bf16 rate" A/B was
+    invalid (ADVICE r04: the dtype knob was a no-op, f32 was compared
+    against itself) — see BASELINE.md for the corrected r5 measurement.
 
 Gather group selection must be a SUBLANE slice (see _axis_lerp) — lane-axis
 slicing of a wide index vector ahead of tpu.dynamic_gather crashes the
@@ -52,42 +54,14 @@ def _chunk(dtype) -> int:
     del dtype
     return 2048
 
-# Operand dtype for the ONE remaining kernel matmul (the backward dL
-# accumulation — fwd and dx are matmul-free gather-lerps, exact in f32).
-# f32(HIGHEST) is the default and costs the same step rate as bf16
-# (scripts/bench_ab.py r4: 11.65 vs 11.66 it/s), so there is no reason to
-# trade gradient precision.
-_MATMUL_DTYPE = jnp.float32
-_MATMUL_PRECISION = None  # None -> derived from dtype
-
-
-def set_cp_matmul_dtype(dtype, precision=None) -> None:
-    """Set the operand dtype (f32 or bf16) and optionally the MXU precision
-    for the Pallas CP matmuls. precision=None derives it from the dtype."""
-    global _MATMUL_DTYPE, _MATMUL_PRECISION
-    _MATMUL_DTYPE = dtype
-    _MATMUL_PRECISION = precision
-
-
-def _mm_precision():
-    # TPU MXU default precision multiplies f32 operands as bf16; the f32
-    # path must request HIGHEST (bf16x6 passes) to actually hold the
-    # rtol=1e-5 equivalence bar. bf16 operands take the native rate.
-    if _MATMUL_PRECISION is not None:
-        return _MATMUL_PRECISION
-    return (
-        jax.lax.Precision.HIGHEST
-        if _MATMUL_DTYPE == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-
-
 def _resolve_mm(mm: str):
-    """mm string -> (operand dtype, MXU precision). "global" defers to the
-    module flags (set_cp_matmul_dtype); configs pass an explicit mode so
-    the choice lives in the jit cache key, not in mutable globals."""
-    if mm == "global":
-        return _MATMUL_DTYPE, _mm_precision()
+    """mm string -> (operand dtype, MXU precision) for the ONE remaining
+    kernel matmul (the backward dL accumulation — fwd and dx are matmul-free
+    gather-lerps, exact in f32). Configs pass an explicit mode so the choice
+    lives in the jit cache key; the earlier mutable-global setter was removed
+    (ADVICE r04: it was dead — triad_encode_t always passes cfg.cp_dtype).
+    f32 requests HIGHEST (bf16x6 passes) to hold the rtol=1e-5 equivalence
+    bar; bf16 takes the native MXU rate."""
     if mm == "f32":
         return jnp.float32, jax.lax.Precision.HIGHEST
     if mm == "bf16":
@@ -257,7 +231,7 @@ def _pad_pts(pts_t: jnp.ndarray, mm_dtype):
     return pts_t, n, c
 
 
-def _fwd_pallas(lines_t, pts_t, resolutions, n_features, mm="global"):
+def _fwd_pallas(lines_t, pts_t, resolutions, n_features, mm="f32"):
     mm_dtype, mm_prec = _resolve_mm(mm)
     pts_p, n, c = _pad_pts(pts_t, mm_dtype)
     np_ = pts_p.shape[-1]
@@ -282,7 +256,7 @@ def _fwd_pallas(lines_t, pts_t, resolutions, n_features, mm="global"):
     return out[:, :n]
 
 
-def _bwd_pallas(lines_t, pts_t, g, resolutions, n_features, mm="global"):
+def _bwd_pallas(lines_t, pts_t, g, resolutions, n_features, mm="f32"):
     mm_dtype, mm_prec = _resolve_mm(mm)
     pts_p, n, c = _pad_pts(pts_t, mm_dtype)
     np_ = pts_p.shape[-1]
@@ -328,15 +302,15 @@ def _use_pallas() -> bool:
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def cp_encode_t(
-    lines_t, pts_t, resolutions: Tuple[int, ...], n_features: int, mm: str = "global"
+    lines_t, pts_t, resolutions: Tuple[int, ...], n_features: int, mm: str = "f32"
 ):
     """(L*F, N) CP features of pts_t (3, N) in [0, 1]. ``mm`` selects the
-    kernel matmul mode ("f32" | "bf16" | "global")."""
+    kernel matmul mode ("f32" | "bf16")."""
     out, _ = _cp_fwd(lines_t, pts_t, resolutions, n_features, mm)
     return out
 
 
-def _cp_fwd(lines_t, pts_t, resolutions, n_features, mm="global"):
+def _cp_fwd(lines_t, pts_t, resolutions, n_features, mm="f32"):
     if _use_pallas():
         out = _fwd_pallas(lines_t, pts_t, resolutions, n_features, mm)
     else:

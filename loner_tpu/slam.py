@@ -60,6 +60,11 @@ class LonerSLAM:
             cfg.mapper.checkpoint_dir = os.path.join(out_dir, "checkpoints")
         if out_dir and cfg.mapper.loss_log_dir is None:
             cfg.mapper.loss_log_dir = os.path.join(out_dir, "losses")
+        if out_dir and cfg.mapper.debug is not None and cfg.mapper.debug.dump_dir is None:
+            cfg.mapper.debug.dump_dir = os.path.join(out_dir, "debug")
+        # tracker shares the mapper's DebugFlags (one debug: block in cfg)
+        if cfg.tracker.debug is None:
+            cfg.tracker.debug = cfg.mapper.debug
         if cfg.concurrent_device_split:
             import jax
 
@@ -126,8 +131,8 @@ class LonerSLAM:
         if kind == "scan":
             self._map_frame(*payload)
         else:  # "image": attach a matched image to its keyframe
-            scan, image, t_img = payload
-            self.mapper.attach_image(scan, image, t_img)
+            scan, image, t_img, t_scan = payload
+            self.mapper.attach_image(scan, image, t_img, scan_timestamp=t_scan)
 
     # ------------------------------------------------------------------
     def process_scan(
@@ -194,7 +199,7 @@ class LonerSLAM:
     def _drain_image_matches(self):
         while self.frame_synthesis.has_frame():
             mf = self.frame_synthesis.pop_frame()
-            item = ("image", (mf.scan, mf.image, mf.image_timestamp))
+            item = ("image", (mf.scan, mf.image, mf.image_timestamp, mf.scan_timestamp))
             if self.cfg.single_threaded:
                 self._dispatch(item)
             else:
@@ -263,6 +268,25 @@ class LonerSLAM:
             # per-window iteration timing + its/s (reference timing.csv,
             # src/mapping/optimizer.py:183-188)
             self.mapper.window_timer.write_csv(os.path.join(out_dir, "timing.csv"))
+            if self.cfg.mapper.camera.enabled:
+                # image->keyframe attach observability (ADVICE r04: silent
+                # drops hide a mis-set frame_match_tolerance)
+                import json as _json
+
+                with open(os.path.join(out_dir, "camera_attach.json"), "w") as f:
+                    _json.dump(
+                        {
+                            "attached": self.mapper.image_attaches,
+                            "dropped": self.mapper.image_attach_drops,
+                        },
+                        f,
+                    )
+                if self.mapper.image_attach_drops:
+                    print(
+                        f"[slam] WARNING: {self.mapper.image_attach_drops} matched "
+                        f"images hit scans that never became keyframes "
+                        f"({self.mapper.image_attaches} attached)"
+                    )
             if self.ba_info is not None:
                 import json
 

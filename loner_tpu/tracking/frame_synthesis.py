@@ -30,6 +30,9 @@ class MatchedFrame:
     image: Any  # (H, W, C) array (opaque to this layer)
     image_timestamp: float
     scan: LidarScan
+    # the FRAME timestamp the scan was processed under — identical to the
+    # keyframe's timestamp, so attach_image can key the match by time
+    # instead of scan object identity (robust across scan copies)
     scan_timestamp: float
 
 
@@ -39,7 +42,8 @@ class FrameSynthesis:
         self._last_kept_time: Optional[float] = None
         # camera mode: pending images + scans awaiting a match
         self._pending_images: List[Tuple[Any, float]] = []
-        self._pending_scans: List[Tuple[LidarScan, float, float]] = []  # (scan, t0, t1)
+        # (scan, frame timestamp, interval start, interval end)
+        self._pending_scans: List[Tuple[LidarScan, float, float, float]] = []
         self._completed: List[MatchedFrame] = []
 
     def accepts(self, timestamp: float) -> bool:
@@ -71,7 +75,7 @@ class FrameSynthesis:
         valid = np.asarray(scan.valid)
         t0 = float(ts[valid].min()) if valid.any() else timestamp
         t1 = float(ts[valid].max()) if valid.any() else timestamp
-        self._pending_scans.append((scan, t0, t1))
+        self._pending_scans.append((scan, timestamp, t0, t1))
         self._match()
 
     def _match(self):
@@ -83,20 +87,20 @@ class FrameSynthesis:
         while self._pending_images and self._pending_scans:
             img, t_img = self._pending_images[0]
             matched = None
-            for i, (scan, t0, t1) in enumerate(self._pending_scans):
+            for i, (scan, t_frame, t0, t1) in enumerate(self._pending_scans):
                 if t0 - tol <= t_img <= t1 + tol:
                     matched = i
                     break
             if matched is None:
-                if t_img < self._pending_scans[-1][1] - tol:
+                if t_img < self._pending_scans[-1][-1] - tol:
                     # scans arrive in time order: an image older than every
                     # pending interval can never match -> skip (reference
                     # MatchResult.SKIPPED)
                     self._pending_images.pop(0)
                     continue
                 break  # waiting on a future scan
-            scan, t0, t1 = self._pending_scans[matched]
-            self._completed.append(MatchedFrame(img, t_img, scan, t0))
+            scan, t_frame, t0, t1 = self._pending_scans[matched]
+            self._completed.append(MatchedFrame(img, t_img, scan, t_frame))
             self._pending_images.pop(0)
             del self._pending_scans[: matched + 1]
 

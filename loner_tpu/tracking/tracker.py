@@ -43,6 +43,11 @@ class TrackerConfig:
     # tracking and mapping run as two concurrent programs on DISJOINT
     # devices (the PP axis; reference = two processes on one GPU)
     device_index: Optional[int] = None
+    # ICP cloud dumps (reference debug.flags draw_*_clouds,
+    # src/tracking/tracker.py:126-137,239-250): a runtime/debug_dump
+    # DebugFlags; when draw_icp_clouds is on, each tracked frame writes the
+    # ICP input cloud, its aligned copy, and the target (previous) cloud
+    debug: Optional[object] = None
 
 
 @dataclass
@@ -63,6 +68,7 @@ class Tracker:
         self._prev_pose: Optional[np.ndarray] = None
         self._prev_time: Optional[float] = None
         self.track_times: List[float] = []
+        self._frame_count = 0
         self._device = (
             jax.devices()[cfg.device_index] if cfg.device_index is not None else None
         )
@@ -94,6 +100,22 @@ class Tracker:
             pts = np.concatenate([pts, np.zeros((pad, 3), pts.dtype)])
         return self._put(jnp.asarray(pts, jnp.float32)), self._put(jnp.asarray(v))
 
+    def _dump_icp_clouds(self, cloud, cloud_valid, prev_pts, prev_valid, T_rel):
+        """Write this frame's ICP clouds (input, aligned, target) as pcds —
+        the reference's tracker cloud dumps
+        (``src/tracking/tracker.py:126-137,239-250``)."""
+        import os
+
+        from loner_tpu.runtime.debug_dump import write_pcd
+
+        d = os.path.join(self.cfg.debug.dump_dir, f"frame_{self._frame_count}")
+        src = np.asarray(cloud)[np.asarray(cloud_valid)]
+        tgt = np.asarray(prev_pts)[np.asarray(prev_valid)]
+        T = np.asarray(T_rel)
+        write_pcd(os.path.join(d, "icp_input.pcd"), src)
+        write_pcd(os.path.join(d, "icp_aligned.pcd"), src @ T[:3, :3].T + T[:3, 3])
+        write_pcd(os.path.join(d, "icp_target.pcd"), tgt)
+
     def track(self, frame_scan: LidarScan, timestamp: float) -> TrackResult:
         t0 = time.time()
         cloud, cloud_valid = self._extract_cloud(frame_scan)
@@ -110,6 +132,8 @@ class Tracker:
             # T_rel maps current sensor frame into the previous sensor frame
             pose = self._prev_pose @ np.asarray(T_rel, np.float64)
             rmse, fitness = float(rmse_j), float(fit_j)
+            if self.cfg.debug is not None and self.cfg.debug.on("draw_icp_clouds"):
+                self._dump_icp_clouds(cloud, cloud_valid, prev_pts, prev_valid, T_rel)
 
         scan = frame_scan
         if self.cfg.motion_compensation and self._prev_pose is not None:
@@ -143,6 +167,7 @@ class Tracker:
 
         dt = time.time() - t0
         self.track_times.append(dt)
+        self._frame_count += 1
         return TrackResult(
             pose=pose, scan=scan, rmse=rmse, fitness=fitness, wall_time_s=dt,
             sky_dirs=sky_dirs,

@@ -25,47 +25,41 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def apply_variant(cfg, name: str):
-    """Returns (cfg, setup_fn) for a named variant of the flagship config."""
-    from loner_tpu.ops.cp_kernel import set_cp_matmul_dtype
-
+    """Returns the flagship config for a named variant. All knobs flow
+    through the config (part of the jit cache key) — ADVICE r04 found the
+    earlier mutable-global dtype setter was a no-op because triad_encode_t
+    always passes cfg.cp_dtype."""
     nerf = cfg.nerf
     if name == "base":
-        return cfg, lambda: set_cp_matmul_dtype(jnp.float32)
+        return cfg
     if name == "cp_bf16":
-        return cfg, lambda: set_cp_matmul_dtype(jnp.bfloat16)
+        t = nerf.triad._replace(cp_dtype="bf16")
+        return cfg._replace(nerf=nerf._replace(triad=t))
     if name == "no_hash":
         t = nerf.triad._replace(hash_levels=0)
-        return cfg._replace(nerf=nerf._replace(triad=t)), lambda: set_cp_matmul_dtype(jnp.float32)
+        return cfg._replace(nerf=nerf._replace(triad=t))
     if name == "no_chunks":
-        return cfg._replace(nerf=nerf._replace(point_chunks=1)), lambda: set_cp_matmul_dtype(jnp.float32)
+        return cfg._replace(nerf=nerf._replace(point_chunks=1))
     if name == "regather":
         t = nerf.triad._replace(hash_save_residual=False)
-        return cfg._replace(nerf=nerf._replace(triad=t)), lambda: set_cp_matmul_dtype(jnp.float32)
+        return cfg._replace(nerf=nerf._replace(triad=t))
     if name == "fused":
-        return cfg._replace(nerf=nerf._replace(encoding_impl="fused")), lambda: set_cp_matmul_dtype(jnp.float32)
+        return cfg._replace(nerf=nerf._replace(encoding_impl="fused"))
     if name == "cp_more_fourier":  # no hash, wider CP + more fourier detail
         t = nerf.triad._replace(hash_levels=0, cp_features=32, fourier_freqs=8)
-        return cfg._replace(nerf=nerf._replace(triad=t)), lambda: set_cp_matmul_dtype(jnp.float32)
+        return cfg._replace(nerf=nerf._replace(triad=t))
     if name == "fast":  # cp bf16 + no hash level + single point pass
-        t = nerf.triad._replace(hash_levels=0)
-        return (
-            cfg._replace(nerf=nerf._replace(triad=t, point_chunks=1)),
-            lambda: set_cp_matmul_dtype(jnp.bfloat16),
-        )
+        t = nerf.triad._replace(hash_levels=0, cp_dtype="bf16")
+        return cfg._replace(nerf=nerf._replace(triad=t, point_chunks=1))
     if name == "fast_hash":  # cp bf16 + single point pass, hash kept
-        return (
-            cfg._replace(nerf=nerf._replace(point_chunks=1)),
-            lambda: set_cp_matmul_dtype(jnp.bfloat16),
-        )
+        t = nerf.triad._replace(cp_dtype="bf16")
+        return cfg._replace(nerf=nerf._replace(triad=t, point_chunks=1))
     if name == "small_hash":  # 4 MB hash table: gathers from a <4 MB operand
         # run far cheaper on v5e (scripts/bench_honest.py). NeRFConfig derives
         # triad.hash_log2_cells from the branch encoding (log2 - 2)
         enc = nerf.pos_encoding_sigma._replace(log2_hashmap_size=16)
-        return (
-            cfg._replace(
-                nerf=nerf._replace(pos_encoding_sigma=enc, point_chunks=1)
-            ),
-            lambda: set_cp_matmul_dtype(jnp.float32),
+        return cfg._replace(
+            nerf=nerf._replace(pos_encoding_sigma=enc, point_chunks=1)
         )
     raise ValueError(name)
 
@@ -102,8 +96,7 @@ def main():
     base_cfg, cube, _, window = _flagship()
     results = {}
     for name in args.variants.split(","):
-        cfg, setup = apply_variant(base_cfg, name)
-        setup()
+        cfg = apply_variant(base_cfg, name)
         state = init_mapper_state(jax.random.PRNGKey(0), cfg)
         state = state._replace(poses=_flagship_poses(state))
         step = make_train_step(cfg, cube, donate=True)

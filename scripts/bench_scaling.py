@@ -99,7 +99,7 @@ def build_problem(window_size: int, small: bool = False):
     return cfg, cube, state, window
 
 
-def time_step(step, state, window, cfg, iters: int) -> float:
+def time_step(step, state, window, cfg, iters: int):
     from loner_tpu.mapping.optimizer import TrainStepFlags
 
     flags = TrainStepFlags(
@@ -121,7 +121,10 @@ def time_step(step, state, window, cfg, iters: int) -> float:
         key, sub = jax.random.split(key)
         state, _ = step(state, window, sub, flags, pose_mask, jnp.asarray(i))
     jax.block_until_ready(state.params)
-    return iters / (time.perf_counter() - t0)
+    # returns the FINAL state: with a donated step the caller's input state
+    # buffers are consumed, so anything downstream (time_grad_psum) must use
+    # this threaded-through value
+    return iters / (time.perf_counter() - t0), state
 
 
 def time_grad_psum(state, mesh, iters: int) -> float:
@@ -197,8 +200,11 @@ def main():
                 args.base_window * n, small=args.small
             )
         mesh = make_mesh(n)
-        step = make_sharded_train_step(cfg, cube, mesh, donate=False)
-        rate = time_step(step, state, window, cfg, args.iters)
+        # strong mode reuses ONE shared state across mesh sizes — donation
+        # would invalidate it; weak mode builds fresh state per size, so it
+        # keeps the production-like donated step (ADVICE r04 low)
+        step = make_sharded_train_step(cfg, cube, mesh, donate=(mode == "weak"))
+        rate, state = time_step(step, state, window, cfg, args.iters)
         rays_per_sec = rate * cfg.rays_per_window
         if base_rate is None:
             base_rate = rate if mode == "strong" else rays_per_sec
@@ -231,7 +237,7 @@ def main():
         cfg, cube, state, window = build_problem(args.base_window * (n // args.tp), small=args.small)
         mesh = make_dp_tp_mesh(n, tp=args.tp)
         step = make_tp_train_step(cfg, cube, mesh, donate=True)
-        rate = time_step(step, state, window, cfg, args.iters)
+        rate, state = time_step(step, state, window, cfg, args.iters)
         print(
             json.dumps(
                 {

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--extent", type=float, default=40.0)
     ap.add_argument("--encoders", default="triad,fused,cell")
     ap.add_argument("--max-epochs", type=int, default=8)
+    # window 16 in ONE pass is 4.7M field points — the backward's activations
+    # overwhelm the remote XLA compile (observed: compile never returns).
+    # chunks=2 runs each pass at the bench-proven 2.36M-point program shape.
+    ap.add_argument("--point-chunks", type=int, default=2)
     ap.add_argument("--small", action="store_true", help="tiny shapes (harness check)")
     ap.add_argument("--out", default="ENCODER_EXP_r03.json")
     args = ap.parse_args()
@@ -101,6 +105,7 @@ def main():
             n_samples_train=samples,
             n_samples_test=samples * 2,
             rays_strategy="MASK",
+            train_point_chunks=args.point_chunks,
         )
         # encoder spec: "triad" | "fused" | "cell" | "triad_nohash" |
         # "triad:cp=bf16" | "triad:cp=bf16,hash=0" (triad knob overrides)
@@ -114,6 +119,10 @@ def main():
                 triad = triad._replace(cp_dtype=v)
             elif k == "hash":
                 triad = triad._replace(hash_levels=int(v))
+            elif k == "fourier":
+                triad = triad._replace(fourier_freqs=int(v))
+            elif k == "cpf":
+                triad = triad._replace(cp_features=int(v))
             elif k == "hlog2":
                 # NeRFConfig derives triad.hash_log2_cells from the branch
                 # encoding's log2_hashmap_size - 2

@@ -97,3 +97,46 @@ def test_camera_path_end_to_end(tmp_path):
     # guards ray geometry (wrong extrinsics/intrinsics -> ~10+ m), not
     # convergence — the short sigma budget leaves a few meters of blur
     assert l1 < 4.0, f"camera-depth L1 {l1:.2f} m"
+
+
+def test_rgb_upsample_option():
+    """2x RGB-phase upsample with intrinsics rescale (the reference's
+    optional FDT camera upsampling, fdt_optimize_implicit_map.py:730-889):
+    bilinear interpolation must be exact on a linear ramp, the rescaled
+    intrinsics must preserve each pixel's viewing ray, and masks stay bool."""
+    from loner_tpu.mapping.camera_optimizer import upsample_images
+
+    h, w, f = 12, 16, 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (0.3 * xx + 0.1 * yy).astype(np.float32)[None, :, :, None]
+    mask = np.zeros((1, h, w), bool)
+    mask[0, 3:7, 4:9] = True
+    K = np.array([[50.0, 0, 7.5], [0, 45.0, 5.5], [0, 0, 1.0]])
+
+    up, mup, Kp = upsample_images(img, mask, K, factor=f)
+    assert up.shape == (1, h * f, w * f, 1)
+    assert mup.shape == (1, h * f, w * f) and mup.dtype == bool
+
+    # bilinear on a linear ramp reproduces the ramp at the src coordinates
+    ys = (np.arange(h * f) + 0.5) / f - 0.5
+    xs = (np.arange(w * f) + 0.5) / f - 0.5
+    expect = 0.3 * np.clip(xs, 0, w - 1)[None, :] + 0.1 * np.clip(ys, 0, h - 1)[:, None]
+    np.testing.assert_allclose(up[0, :, :, 0], expect, atol=1e-5)
+
+    # ray-preservation: src pixel (u, v) and its upsampled center map to the
+    # same camera ray through the rescaled intrinsics
+    Kinv, Kpinv = np.linalg.inv(K), np.linalg.inv(Kp)
+    for u, v in [(0, 0), (3, 7), (15, 11)]:
+        d0 = Kinv @ np.array([u + 0.5, v + 0.5, 1.0])
+        up_u, up_v = f * u + (f - 1) / 2.0, f * v + (f - 1) / 2.0
+        d1 = Kpinv @ np.array([up_u + 0.5, up_v + 0.5, 1.0])
+        np.testing.assert_allclose(d0, d1, atol=1e-9)
+
+    # mask area is preserved up to the factor^2 scaling (nearest sampling)
+    assert mup.sum() == mask.sum() * f * f
+
+    # stack_camera_window applies it end-to-end
+    win = stack_camera_window(
+        img, mask, np.eye(4)[None], K, upsample=2
+    )
+    assert win.intensities.shape == (1, h * f, w * f, 1)

@@ -82,3 +82,32 @@ class TestRunContract:
         kf, kf_t = load_tum(os.path.join(out, "trajectory", "keyframe_trajectory.txt"))
         m = ate_rmse(est, kf, est_t, kf_t)
         assert np.isfinite(m["rmse"])
+
+
+@pytest.mark.slow
+def test_parallel_trial_farm(tmp_path):
+    """--parallel N farms config x trial jobs over CPU worker processes
+    (reference run_loner.py:394-424's GPU job queue analog); every trial
+    must land its own complete run directory."""
+    import subprocess
+
+    from loner_tpu.data.dataset import write_synthetic_dataset
+
+    root = str(tmp_path / "seq")
+    write_synthetic_dataset(root, n_poses=12, period=7.2)
+    out = str(tmp_path / "farm")
+    r = subprocess.run(
+        [
+            sys.executable, "examples/run_slam.py", "cfg/synthetic_tiny.yaml",
+            "--dataset", root, "--out", out,
+            "--num-repeats", "2", "--parallel", "2",
+        ],
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    for trial in range(2):
+        tdir = os.path.join(out, f"trial_{trial}")
+        assert os.path.exists(
+            os.path.join(tdir, "trajectory", "estimated_trajectory.txt")
+        ), r.stdout + r.stderr
