@@ -232,11 +232,17 @@ class TrainStepFlags(NamedTuple):
     do_occ_update: jnp.ndarray  # scalar bool
 
 
-def make_train_step_body(cfg: MapperConfig, cube):
+def make_train_step_body(cfg: MapperConfig, cube, apply_updates: bool = True):
     """The un-jitted train-step body:
     ``body(pose_grads, state, window, key, flags, pose_mask, iteration)``.
     Exposed so wrappers can transform it (``make_train_step`` jits it;
-    ``parallel/submaps_parallel`` vmaps it over a submap axis)."""
+    ``parallel/submaps_parallel`` vmaps it over a submap axis).
+
+    ``apply_updates=False`` (static) computes loss + gradients but returns
+    the state with only counters advanced — the DP step minus its REPLICATED
+    per-device compute (Adam moments on the full tables, occ update). Used
+    by the scaling harness to attribute virtual-mesh weak-scaling residue to
+    replicated work, never by training."""
     tx_sigma, tx_intensity, tx_poses, tx_occ = make_optimizers(cfg)
     scale = cfg.world_scale
     # keep the fused encoder's slot-strided backward in sync with the actual
@@ -317,6 +323,22 @@ def make_train_step_body(cfg: MapperConfig, cube):
             jnp.logical_and(_tree_finite(g_params), _tree_finite(g_poses)),
         )
 
+        if not apply_updates:
+            # gradients must still be materialized (they carry the psum),
+            # so fold a zero-cost reduction of them into the counters
+            g_any = jnp.asarray(0, jnp.int32)
+            for l in jax.tree.leaves((g_params, g_poses)):
+                g_any = g_any + (l.ravel()[0] != 0).astype(jnp.int32)
+            new_state = state._replace(
+                global_step=state.global_step + 1 + 0 * g_any,
+                skipped_steps=state.skipped_steps
+                + jnp.where(finite, 0, 1).astype(jnp.int32),
+            )
+            aux = dict(aux)
+            aux["loss"] = loss
+            aux["finite"] = finite
+            return new_state, aux
+
         def masked_group(tx, g, opt_state, params, freeze):
             updates, new_state = tx.update(g, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -391,7 +413,10 @@ def make_train_step_body(cfg: MapperConfig, cube):
     return _train_step
 
 
-def make_train_step(cfg: MapperConfig, cube, donate: bool = False, out_shardings=None):
+def make_train_step(
+    cfg: MapperConfig, cube, donate: bool = False, out_shardings=None,
+    apply_updates: bool = True,
+):
     """Build the jitted train step. ``cube`` is the WorldCube (static).
 
     ``donate``: donate the input state's buffers to the output (halves HBM
@@ -404,7 +429,7 @@ def make_train_step(cfg: MapperConfig, cube, donate: bool = False, out_shardings
     the output placement, so a DP/TP wrapper's per-call ``device_put`` is a
     no-op after the first step instead of a re-replication every iteration.
     """
-    _train_step = make_train_step_body(cfg, cube)
+    _train_step = make_train_step_body(cfg, cube, apply_updates=apply_updates)
     jit_kwargs = {}
     if donate:
         jit_kwargs["donate_argnums"] = (0,)

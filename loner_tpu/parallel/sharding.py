@@ -37,7 +37,10 @@ def shard_window(window, mesh: Mesh, axis: str = "data"):
     return jax.device_put(window, NamedSharding(mesh, P(axis)))
 
 
-def make_sharded_train_step(cfg, cube, mesh: Mesh, axis: str = "data", donate: bool = False):
+def make_sharded_train_step(
+    cfg, cube, mesh: Mesh, axis: str = "data", donate: bool = False,
+    apply_updates: bool = True,
+):
     """Build a DP train step: state replicated, the window's keyframe axis
     sharded over ``axis``. XLA partitions the jitted step according to the
     argument shardings and all-reduces parameter gradients over ICI.
@@ -51,7 +54,10 @@ def make_sharded_train_step(cfg, cube, mesh: Mesh, axis: str = "data", donate: b
     repl = NamedSharding(mesh, P())
     win_s = NamedSharding(mesh, P(axis))
     n_mesh = int(np.prod(mesh.devices.shape))
-    step = make_train_step(cfg, cube, donate=donate, out_shardings=(repl, repl))
+    step = make_train_step(
+        cfg, cube, donate=donate, out_shardings=(repl, repl),
+        apply_updates=apply_updates,
+    )
 
     def sharded_step(state, window, key, flags, pose_mask, iteration):
         state = jax.device_put(state, repl)  # no-op once placed

@@ -166,6 +166,12 @@ def main():
     ap.add_argument("--small", action="store_true", help="tiny shapes (CPU harness check)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mode", default=None, choices=["weak", "strong"])
+    ap.add_argument(
+        "--dedup", action="store_true",
+        help="also time an updates-stubbed step (grads + psum only) per "
+        "size, isolating the REPLICATED per-device compute (Adam on the "
+        "full tables, occ update) from the sharded ray work",
+    )
     ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
@@ -217,17 +223,30 @@ def main():
         # this mesh in isolation (the DP step's only collective is the
         # all-reduce of parameter gradients; everything else is elementwise)
         psum_ms = time_grad_psum(state, mesh, args.iters)
-        results.append(
-            {
-                "devices": n,
-                "window": cfg.window_size,
-                "it_per_sec": round(rate, 3),
-                "rays_per_sec": round(rays_per_sec),
-                "scaling_efficiency": round(eff, 3),
-                "grad_psum_ms": round(psum_ms, 2),
-                "step_ms": round(1e3 / rate, 2),
-            }
-        )
+        row = {
+            "devices": n,
+            "window": cfg.window_size,
+            "it_per_sec": round(rate, 3),
+            "rays_per_sec": round(rays_per_sec),
+            "scaling_efficiency": round(eff, 3),
+            "grad_psum_ms": round(psum_ms, 2),
+            "step_ms": round(1e3 / rate, 2),
+        }
+        if args.dedup:
+            # the same step MINUS the replicated per-device compute (Adam
+            # moments on full tables, occ update): if the residual weak-mode
+            # slowdown is the replicated work, this variant's rays/s stays
+            # near-flat with device count on the shared-core virtual mesh
+            cfg2, cube2, state2, window2 = build_problem(
+                cfg.window_size, small=args.small
+            )
+            step2 = make_sharded_train_step(
+                cfg2, cube2, mesh, donate=(mode == "weak"), apply_updates=False
+            )
+            rate2, _ = time_step(step2, state2, window2, cfg2, args.iters)
+            row["it_per_sec_dedup"] = round(rate2, 3)
+            row["rays_per_sec_dedup"] = round(rate2 * cfg2.rays_per_window)
+        results.append(row)
         print(json.dumps(results[-1]), flush=True)
 
     if args.tp and n_avail >= args.tp * 2:

@@ -175,3 +175,92 @@ def test_process_image_requires_camera_mode():
     slam.cfg.mapper.camera.enabled = False
     with pytest.raises(RuntimeError):
         slam.process_image(np.zeros((H, W, 1), np.float32), 0.0)
+
+
+def test_online_dynamic_masks_block_training(tmp_path):
+    """Dynamic-object masks must be consumed by the ONLINE camera phase
+    (the reference bakes SAM masks into the bag and the optimizer's camera
+    samples respect them, rosbag_utils/adjust_bags.py:16-60 +
+    src/mapping/optimizer.py:517-688): pixels masked out by
+    ``camera.mask_fn`` are provably untrained — an adversarial all-bright
+    overlay confined to the masked strip must NOT be reproduced by the
+    trained intensity branch, while unmasked content still trains."""
+    scene = synthetic.Scene.default()
+    poses, ts = synthetic.circular_trajectory(n_poses=24, radius=5.0, z=1.5, period=4.8)
+    cube = compute_world_cube(poses, ray_range=(1.0, 40.0), rebase_to_first_pose=True)
+    slam = _build_slam(cube, float(cube.scale_factor))
+    strip = W // 4  # left strip plays the dynamic object
+
+    # mask_fn: the left strip is a "vehicle" — not trainable
+    def mask_fn(img):
+        m = np.ones(img.shape[:2], bool)
+        m[:, :strip] = False
+        return m
+
+    slam.cfg.mapper.camera.mask_fn = mask_fn
+    gt_rel = np.linalg.inv(poses[0])[None] @ poses
+
+    for i, (T, t0) in enumerate(zip(poses, ts)):
+        dirs, dists, stamps, hit = synthetic.simulate_scan(
+            scene, T, t0, n_channels=16, n_azimuth=256, max_range=40.0
+        )
+        scan = make_lidar_scan(dirs[hit], dists[hit], stamps[hit], pad_to=3072)
+        t_mid = float(np.median(stamps[hit]))
+        img, _ = synthetic.render_intensity_image(scene, T @ T_LC, K_CAM, H, W)
+        img = img.copy()
+        img[:, :strip] = 1.0  # the adversarial overlay (dynamic object)
+        pose = slam.process_scan(scan, t0, gt_pose=gt_rel[i])
+        assert pose is not None
+        slam.process_image(img, t_mid)
+    slam.stop(str(tmp_path))
+
+    kfs = [k for k in slam.mapper.kf_manager.keyframes if k.image is not None]
+    assert len(kfs) >= 3
+    # masks reached the keyframes
+    for k in kfs:
+        assert k.image_mask is not None
+        assert not k.image_mask[:, : strip].any()
+        assert k.image_mask[:, strip:].all()
+
+    # render the window's pixels with the trained intensity branch, split
+    # by the mask: masked pixels must NOT have learned the 1.0 overlay
+    from loner_tpu.geometry import se3
+    from loner_tpu.mapping.camera_optimizer import (
+        _sample_camera_rays,
+        stack_camera_window,
+    )
+    from loner_tpu.models import sampling
+    from loner_tpu.models.rendering import render_rays
+
+    state = slam.mapper.state
+    cfg = slam.cfg.mapper.mapper
+    img_kfs = kfs[:4]
+    poses_np = np.asarray(state.poses)
+    cam_poses = [
+        np.asarray(se3.pose_to_matrix(jnp.asarray(poses_np[k.pose_index]))) @ T_LC
+        for k in img_kfs
+    ]
+    # all-True mask here: we WANT rays in the masked strip for evaluation
+    win = stack_camera_window(
+        np.stack([k.image for k in img_kfs]),
+        np.ones((len(img_kfs), H, W), bool),
+        np.stack(cam_poses),
+        K_CAM,
+    )
+    bundle, target = _sample_camera_rays(win, cube, cfg, 4096, jax.random.PRNGKey(5))
+    z = sampling.occ_grid_sampler_z_vals(
+        jax.random.PRNGKey(6), bundle, state.occ_grid, cfg.n_samples_train, 0.0
+    )
+    render = render_rays(
+        state.params, bundle, z, cfg.nerf, sigma_only=False, detach_sigma=True
+    )
+    pred = np.asarray(render.rgb)[:, 0]
+    tgt = np.asarray(target)[:, 0]
+    valid = np.asarray(bundle.valid)
+    in_strip = tgt > 0.999  # overlay pixels (the synthetic scene is darker)
+    err_masked = np.abs(pred - tgt)[valid & in_strip].mean()
+    err_open = np.abs(pred - tgt)[valid & ~in_strip].mean()
+    # the open region trains toward its targets; the masked strip must stay
+    # far from the overlay value (no gradient ever flowed from it)
+    assert err_masked > 2.5 * err_open, (err_masked, err_open)
+    assert err_masked > 0.2, err_masked
