@@ -193,7 +193,8 @@ def optimize_implicit_map(
         log_fn(
             f"[offline] epoch {epoch + 1}/{offline.max_epochs}: "
             f"L1 depth {l1:.3f} m, {it_total} iterations, "
-            f"loss {float(aux['loss']):.4f}"
+            f"loss {float(aux['loss']):.4f}, "
+            f"{time.time() - t_start:.0f}s elapsed"
         )
         if offline.log_dir:
             os.makedirs(offline.log_dir, exist_ok=True)

@@ -41,8 +41,10 @@ class NeRFConfig(NamedTuple):
     # "triad" = TriadField (ops/triad_field.py): CP feature lines + Fourier
     # features + at most ONE hash gather per point — the TPU default (honest
     # v5e numbers: each 2.36M-row gather costs ~28 ms, so per-level lookups
-    # are unaffordable). "fused" = FusedHash per-level gathers + Pallas
-    # interp. "cell" = round-1 CellHash (jnp). "packed", "exact" = legacy.
+    # are unaffordable; since r5 the default triad runs gather-FREE —
+    # hash_levels=0, quality-gated by ENCODER_EXP_r05.json). "fused" =
+    # FusedHash per-level gathers + Pallas interp. "cell" = round-1
+    # CellHash (jnp). "packed", "exact" = legacy.
     encoding_impl: str = "triad"
     # triad sub-config (used when encoding_impl == "triad"); the sigma
     # branch uses it as-is, the intensity branch reuses it with the hash

@@ -37,7 +37,13 @@ class TriadConfig(NamedTuple):
     cp_resolutions: Tuple[int, ...] = (16, 32, 64, 128)
     cp_features: int = 16
     fourier_freqs: int = 6  # per axis: sin+cos of 2^j pi p, j < fourier_freqs
-    hash_levels: int = 1  # 0 disables the hash term
+    # 0 disables the hash term. DEFAULT 0 since r5: the flagship held-out-L1
+    # experiment (ENCODER_EXP_r05.json, reference FDT protocol + its 1.05 m
+    # gate) measured hash-off at 1.002 m vs hash-on 1.027 m — the fat row
+    # buys no quality here and its 2.36M-row gather costs ~24 ms/step on
+    # v5e (BASELINE.md). Set 1 for the fat-row level (e.g. for maps larger
+    # than this benchmark's; it TP-shards over the mesh, parallel/tp.py).
+    hash_levels: int = 0
     hash_base_resolution: int = 512
     hash_per_level_scale: float = 2.0
     hash_log2_cells: int = 16

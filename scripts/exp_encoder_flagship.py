@@ -161,17 +161,19 @@ def main():
         }
         print(json.dumps({enc: results[enc]}), flush=True)
 
-    payload = {
-        "experiment": "offline forest, flagship operating point"
-        if not args.small
-        else "offline forest, SMALL harness check",
-        "scene": {"trees": args.trees, "extent_m": args.extent, "kfs": args.kfs},
-        "ray_range": ray_range,
-        "platform": jax.devices()[0].platform,
-        "results": results,
-    }
-    with open(args.out, "w") as f:
-        json.dump(payload, f, indent=1)
+        # write after EVERY encoder: remote-compile stalls can overrun the
+        # harness timeout and a partial artifact beats none
+        payload = {
+            "experiment": "offline forest, flagship operating point"
+            if not args.small
+            else "offline forest, SMALL harness check",
+            "scene": {"trees": args.trees, "extent_m": args.extent, "kfs": args.kfs},
+            "ray_range": ray_range,
+            "platform": jax.devices()[0].platform,
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
     print("wrote", args.out)
 
 

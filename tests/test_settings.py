@@ -139,3 +139,33 @@ class TestAblationStudyFile:
             for s, _ in opts
         }
         assert {"L1_JS", "L1_LOS", "L2_LOS"} <= sels
+
+
+def test_debug_flags_flow_to_configs():
+    """The cfg debug: block's visual-dump flags must reach the runtime
+    DebugFlags consumed by the mapper/tracker (reference debug.flags)."""
+    from loner_tpu.config.build import build_slam_config
+    from loner_tpu.config.settings import load_settings
+
+    s = load_settings(
+        "cfg/defaults.yaml",
+        overrides={
+            "debug": {
+                "flags": {"draw_icp_clouds": True, "draw_loss_distribution": True}
+            }
+        },
+    )
+    cfg = build_slam_config(s, world_scale=20.0)
+    d = cfg.mapper.debug
+    assert d.global_enabled
+    assert d.draw_icp_clouds and d.draw_loss_distribution
+    assert not d.draw_rays and not d.draw_samples
+    assert d.dump_dir is None  # LonerSLAM points it at <out_dir>/debug
+
+    # global_enabled=False gates everything regardless of per-flag values
+    s2 = load_settings(
+        "cfg/defaults.yaml",
+        overrides={"debug": {"global_enabled": False, "flags": {"draw_rays": True}}},
+    )
+    d2 = build_slam_config(s2, world_scale=20.0).mapper.debug
+    assert not d2.on("draw_rays")

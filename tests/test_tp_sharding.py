@@ -37,6 +37,11 @@ def setup():
     poses, ts = synthetic.circular_trajectory(n_poses=4, radius=6.0, z=1.5)
     cube = compute_world_cube(poses, ray_range=(1.0, 40.0), rebase_to_first_pose=False)
     cfg = tiny_mapper_config(float(cube.scale_factor))
+    # hash-table TP is the capability under test; the r5 default disables
+    # the triad's hash level (ENCODER_EXP_r05), so enable it explicitly
+    cfg = cfg._replace(
+        nerf=cfg.nerf._replace(triad=cfg.nerf.triad._replace(hash_levels=1))
+    )
 
     kfs = []
     rng = np.random.default_rng(0)
