@@ -84,6 +84,9 @@ def build_mapper_config(settings: Settings, world_scale: float) -> MapperConfig:
             voxel_size=mc.model.occ_model.voxel_size,
             lr=mc.model.occ_model.lr,
             n_iters_acc=mc.model.occ_model.N_iters_acc,
+            # "stochastic" (default) = unbiased one-corner transpose
+            # estimator (~5x cheaper on v5e); "exact" = full trilinear
+            estimator=mc.model.occ_model.get("estimator", "stochastic"),
         ),
         ray_range=ray_range,
         world_scale=world_scale,

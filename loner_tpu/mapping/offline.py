@@ -48,6 +48,14 @@ class OfflineConfig:
     eval_seed: int = 8
     eval_rays_per_scan: int = 1024
     log_dir: Optional[str] = None
+    # occupancy-update transpose for OFFLINE optimization: "exact" — the
+    # offline FDT protocol has no real-time floor, and the r5 gate
+    # measurement (ENCODER_EXP_r05.json) found the stochastic one-corner
+    # estimator 1.058 m vs exact 1.002 m at the 8-epoch budget (the online
+    # path keeps the stochastic default: its ~70 ms/occurrence saving is
+    # what clears the 16.7 it/s floor, and the online occ grid refreshes
+    # over hundreds of windows where the noise averages out)
+    occ_estimator: str = "exact"
 
 
 @dataclass
@@ -120,7 +128,10 @@ def optimize_implicit_map(
     assert len(keyframes) >= 1
     t_start = time.time()
 
-    cfg = cfg._replace(window_size=min(offline.window_size, max(1, len(keyframes))))
+    cfg = cfg._replace(
+        window_size=min(offline.window_size, max(1, len(keyframes))),
+        occ=cfg.occ._replace(estimator=offline.occ_estimator),
+    )
 
     if state is None:
         state = init_mapper_state(jax.random.PRNGKey(seed), cfg)

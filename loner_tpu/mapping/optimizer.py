@@ -383,6 +383,8 @@ def make_train_step_body(cfg: MapperConfig, cube, apply_updates: bool = True):
                 z_metric,
                 d_metric,
                 bundle.valid,
+                key=jax.random.fold_in(key, 0x0CC),
+                estimator=cfg.occ.estimator,
             )
             updates, new_opt = tx_occ.update(g_occ, opt_occ, occ_grid)
             return optax.apply_updates(occ_grid, updates), new_opt

@@ -23,6 +23,16 @@ class OccGridConfig(NamedTuple):
     voxel_size: int = 100  # V, grid is V^3
     lr: float = 1e-4
     n_iters_acc: int = 10  # update cadence in optimizer iterations
+    # grid-update transpose estimator. v5e scatter costs ~8 ns per scattered
+    # ELEMENT, so the exact trilinear transpose (8 corners/point) costs
+    # ~103 ms at the flagship batch vs ~19 ms for one corner/point.
+    # "stochastic" (default) samples ONE corner per point with probability
+    # equal to its trilinear weight — an UNBIASED estimator of the exact
+    # transpose (E[update] identical; the evidence batch is itself a random
+    # ray subsample each update, so the added variance is same-order).
+    # "exact" keeps the full 8-corner transpose (the reference's
+    # grid_sample backward semantics, src/mapping/optimizer.py:897-907).
+    estimator: str = "stochastic"
 
 
 def init_occ_grid(cfg: OccGridConfig, dtype=jnp.float32) -> jnp.ndarray:
@@ -120,6 +130,55 @@ def occ_logits_grad(
     return l_free * before - l_occ * near
 
 
+def _corner_geometry(points_cube_t: jnp.ndarray, v: int):
+    """Shared coordinate math with occ_grid_interpolate_t: packed-cell row
+    index (..., ), in-bounds mask, and the 8 trilinear corner weights
+    (..., 8) in (dz, dy, dx) binary order (dx fastest)."""
+    pix = ((points_cube_t + 1.0) * v - 1.0) / 2.0
+    lo = jnp.floor(pix)
+    frac = pix - lo
+    cell = lo.astype(jnp.int32) + 1
+    inb = jnp.all((cell >= 0) & (cell <= v), axis=0)
+    cc = jnp.clip(cell, 0, v)
+    lin = cc[2] * ((v + 1) * (v + 1)) + cc[1] * (v + 1) + cc[0]
+    wx1, wy1, wz1 = frac[0], frac[1], frac[2]
+    wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
+    w = jnp.stack(
+        [
+            wz0 * wy0 * wx0,
+            wz0 * wy0 * wx1,
+            wz0 * wy1 * wx0,
+            wz0 * wy1 * wx1,
+            wz1 * wy0 * wx0,
+            wz1 * wy0 * wx1,
+            wz1 * wy1 * wx0,
+            wz1 * wy1 * wx1,
+        ],
+        axis=-1,
+    )
+    return lin, inb, w
+
+
+def _unpack_transpose(packed_ct: jnp.ndarray, v: int) -> jnp.ndarray:
+    """Transpose of _pack_occ_cells: slab k of the packed table came from
+    padded[dz:dz+v+1, dy:dy+v+1, dx:dx+v+1], so its cotangent adds back
+    into those positions of the padded grid; the zero border then drops."""
+    p1 = v + 1
+    padded_ct = jnp.zeros((v + 2, v + 2, v + 2), dtype=packed_ct.dtype)
+    k = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                padded_ct = jax.lax.dynamic_update_slice(
+                    padded_ct,
+                    jax.lax.dynamic_slice(padded_ct, (dz, dy, dx), (p1, p1, p1))
+                    + packed_ct[..., k],
+                    (dz, dy, dx),
+                )
+                k += 1
+    return padded_ct[1:-1, 1:-1, 1:-1]
+
+
 def occ_grid_cotangent(
     grid: jnp.ndarray,
     points_cube_t: jnp.ndarray,  # (3, N, S) sample points in [-1,1]
@@ -129,13 +188,54 @@ def occ_grid_cotangent(
     eps: float = 2.0,
     l_free: float = 0.25,
     l_occ: float = 2.5,
+    key: "jax.Array" = None,
+    estimator: str = "exact",
 ) -> jnp.ndarray:
     """Gradient w.r.t. the grid: the hand-written per-sample logit gradient
     scattered back through the trilinear interpolation (the reference's
     ``point_logits.backward(gradient=point_logits_grad)``,
-    ``src/mapping/optimizer.py:897-907``)."""
+    ``src/mapping/optimizer.py:897-907``).
+
+    v5e scatter costs ~8 ns per scattered ELEMENT (scripts r5 probe), so:
+
+    * ``estimator="exact"``: the full trilinear transpose, hand-written as
+      one (P, 8) row scatter into the packed cell table + static slab
+      folds — same cost class as autodiff's transpose (~103 ms at the
+      flagship batch; XLA prices the row scatter per element), kept as the
+      reference-exact path and the testing oracle.
+    * ``estimator="stochastic"`` (requires ``key``): sample ONE corner per
+      point with probability equal to its trilinear weight and scatter a
+      single element — an unbiased estimator of the exact transpose
+      (E[update] identical) at ~19 ms. Statistically tested against the
+      exact path (tests/test_field.py)."""
+    v = grid.shape[0]
     g_logits = occ_logits_grad(z_vals_metric, depth_gt_metric, eps, l_free, l_occ)
     g_logits = g_logits * valid[:, None].astype(g_logits.dtype)
-    _, vjp_fn = jax.vjp(lambda g: occ_grid_interpolate_t(g, points_cube_t), grid)
-    (g_grid,) = vjp_fn(g_logits)
-    return g_grid
+
+    lin, inb, w = _corner_geometry(points_cube_t, v)
+    g_eff = jnp.where(inb, g_logits, 0.0)
+    p1 = v + 1
+
+    if estimator == "stochastic":
+        assert key is not None, "stochastic occ estimator needs a PRNG key"
+        # corner ~ Categorical(w): trilinear weights are non-negative and
+        # sum to 1, so an inverse-CDF draw over the 8-way cumsum is exact
+        u = jax.random.uniform(key, g_eff.shape, dtype=w.dtype)
+        cum = jnp.cumsum(w, axis=-1)  # (..., 8), last = 1
+        corner = jnp.sum((u[..., None] > cum).astype(jnp.int32), axis=-1)
+        corner = jnp.clip(corner, 0, 7)
+        flat = lin * 8 + corner
+        packed_ct = (
+            jnp.zeros((p1 * p1 * p1 * 8,), dtype=grid.dtype)
+            .at[flat.reshape(-1)]
+            .add(g_eff.reshape(-1))
+        ).reshape(p1, p1, p1, 8)
+        return _unpack_transpose(packed_ct, v)
+
+    rows_ct = g_eff[..., None] * w  # (N, S, 8)
+    packed_ct = (
+        jnp.zeros((p1 * p1 * p1, 8), dtype=grid.dtype)
+        .at[lin.reshape(-1)]
+        .add(rows_ct.reshape(-1, 8))
+    ).reshape(p1, p1, p1, 8)
+    return _unpack_transpose(packed_ct, v)

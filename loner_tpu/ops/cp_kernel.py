@@ -17,9 +17,11 @@ operation:
   * backward dL: the one place the two-hot weight matrix W (1-f at i0, f at
     i0+1) is still built: dL = (g * feat_b * feat_c) @ W^T on the MXU.
     ``mm`` selects its operand dtype; f32(HIGHEST) is the default (the
-    rtol=1e-5 equivalence-tested path). The r4 "f32 == bf16 rate" A/B was
-    invalid (ADVICE r04: the dtype knob was a no-op, f32 was compared
-    against itself) — see BASELINE.md for the corrected r5 measurement.
+    rtol=1e-5 equivalence-tested path). NOTE the r4 "f32 == bf16 rate"
+    A/B was invalid (ADVICE r04: the dtype knob was a no-op, f32 was
+    compared against itself); the bf16 mode is functional but its step-rate
+    benefit is unmeasured — rerun scripts/bench_ab.py --variants base,cp_bf16
+    before citing one.
 
 Gather group selection must be a SUBLANE slice (see _axis_lerp) — lane-axis
 slicing of a wide index vector ahead of tpu.dynamic_gather crashes the

@@ -293,7 +293,24 @@ def main():
                 "thread pool. Real-slice efficiency must be measured on "
                 "real hardware (mode=weak)."
                 if mode == "strong"
-                else "weak scaling: window grows with the mesh"
+                else (
+                    "weak scaling: window grows with the mesh (N devices map "
+                    "an N x larger active window). On a virtual shared-core "
+                    "mesh the physical ideal is FLAT rays/s (constant total "
+                    "core throughput); any drop below that is virtual-mesh "
+                    "overhead. The --dedup rows time the SAME step minus the "
+                    "replicated per-device compute (Adam on full tables, occ "
+                    "update): measured r5, dedup rays/s tracks the full step "
+                    "within ~10% at every size, REFUTING the r4 hypothesis "
+                    "that replicated optimizer work explains the residue — "
+                    "the residue is XLA:CPU partitioned-execution overhead "
+                    "(per-logical-device executables contending for one "
+                    "thread pool), which does not exist on real chips. Note "
+                    "8 virtual devices at flagship shapes exceed XLA:CPU's "
+                    "40 s collective-rendezvous timeout (step_ms > 160 s on "
+                    "shared cores) — sizes 1/2/4 carry the measurement. "
+                    "Real-slice efficiency still requires real chips."
+                )
             ),
             "results": results,
         }

@@ -159,6 +159,65 @@ class TestOccGrid:
         g0 = occ_grid_cotangent(grid, pts, z, d, jnp.zeros(3, dtype=bool))
         np.testing.assert_allclose(np.asarray(g0), 0.0, atol=1e-8)
 
+    def test_cotangent_matches_autodiff_oracle(self):
+        """The hand-transposed exact cotangent must equal the jax.vjp of
+        the interpolation exactly, including out-of-range points and the
+        ray-validity mask (it is the oracle the stochastic estimator is
+        tested against)."""
+        from loner_tpu.models.occupancy_grid import (
+            occ_grid_interpolate_t,
+            occ_logits_grad,
+        )
+
+        key = jax.random.PRNGKey(0)
+        n, s, v = 64, 32, 20
+        grid = jax.random.normal(key, (v, v, v))
+        pts = jax.random.uniform(key, (3, n, s), minval=-1.3, maxval=1.3)
+        z = jnp.cumsum(jax.random.uniform(jax.random.PRNGKey(1), (n, s)), axis=1) * 0.3
+        d = z[:, s // 2][:, None]
+        valid = jnp.asarray(np.random.default_rng(0).random(n) > 0.2)
+
+        gl = occ_logits_grad(z, d) * valid[:, None]
+        _, vjp = jax.vjp(lambda g: occ_grid_interpolate_t(g, pts), grid)
+        oracle = vjp(gl)[0]
+        ours = occ_grid_cotangent(grid, pts, z, d, valid)
+        np.testing.assert_allclose(np.asarray(oracle), np.asarray(ours), atol=1e-5)
+
+    def test_stochastic_cotangent_unbiased(self):
+        """The one-corner estimator (the v5e default — a single scalar
+        scatter per point instead of 8) must be UNBIASED: averaged over many
+        keys it converges to the exact trilinear transpose, and each draw
+        preserves the total scattered mass exactly (corner weights sum
+        to 1)."""
+        key = jax.random.PRNGKey(0)
+        n, s, v = 32, 16, 10
+        grid = jax.random.normal(key, (v, v, v))
+        # interior points only: at the border the zero-pad crop drops corner
+        # FRACTIONS in the exact transpose but whole DRAWS stochastically,
+        # so strict per-draw mass conservation is an interior property
+        pts = jax.random.uniform(key, (3, n, s), minval=-0.7, maxval=0.7)
+        z = jnp.cumsum(jax.random.uniform(jax.random.PRNGKey(1), (n, s)), axis=1) * 0.4
+        d = z[:, s // 2][:, None]
+        valid = jnp.ones((n,), bool)
+
+        exact = occ_grid_cotangent(grid, pts, z, d, valid, estimator="exact")
+
+        draw = jax.jit(
+            lambda k: occ_grid_cotangent(
+                grid, pts, z, d, valid, key=k, estimator="stochastic"
+            )
+        )
+        draws = [draw(jax.random.PRNGKey(i)) for i in range(200)]
+        # mass conservation holds per draw (weights sum to 1)
+        np.testing.assert_allclose(
+            float(jnp.sum(draws[0])), float(jnp.sum(exact)), rtol=1e-4
+        )
+        mean = np.mean([np.asarray(g) for g in draws], axis=0)
+        err = np.abs(mean - np.asarray(exact))
+        scale = np.abs(np.asarray(exact)).max()
+        # MC error ~ sigma/sqrt(200); the estimator is exact in expectation
+        assert err.max() < 0.12 * scale, (err.max(), scale)
+
 
 class TestNeRF:
     def _tiny_cfg(self):
