@@ -33,7 +33,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="QUALITY_r05.json")
     ap.add_argument("--run-dir", default="/tmp/quality_flagship_run")
-    ap.add_argument("--n-poses", type=int, default=120, help="two 12 s laps at 5 Hz")
+    ap.add_argument(
+        "--n-poses", type=int, default=126,
+        help="one 12.6 s lap at 10 Hz: ~0.5 m per processed (5 Hz) frame, "
+        "inside the ICP identity-init capture range",
+    )
     ap.add_argument("--skip-offline", action="store_true")
     ap.add_argument("--skip-online", action="store_true")
     args = ap.parse_args()
@@ -72,14 +76,16 @@ def run_online(run_dir: str, n_poses: int) -> dict:
 
     root = os.path.join(run_dir, "seq")
     if not os.path.isdir(os.path.join(root, "scans")):
-        # a 31 m loop, two laps, 10 Hz scan rate (decimated to 5 Hz by
-        # FrameSynthesis), denser channels than the test dataset
+        # a 31 m loop at 10 Hz scan rate (decimated to 5 Hz by
+        # FrameSynthesis -> ~0.5 m per processed frame), denser channels
+        # than the test dataset. write_synthetic_dataset runs ONE lap over
+        # `period` seconds.
         write_synthetic_dataset(
             root,
             scene=synthetic.Scene.default(),
             n_poses=n_poses,
             radius=5.0,
-            period=n_poses / 10.0 / 2.0,
+            period=n_poses / 10.0,
             n_channels=32,
             n_azimuth=512,
             noise_std=0.01,
@@ -89,6 +95,11 @@ def run_online(run_dir: str, n_poses: int) -> dict:
         overrides={
             "data": {"ray_range": [1, 40], "scan_points_budget": 16384},
             "system": {"loop_closure": {"enabled": True}},
+            # the synthetic scans are INSTANTANEOUS (simulated from a static
+            # pose, nominal per-point stamps), so per-point motion
+            # compensation warps rigid geometry and degrades ICP fitness
+            # 0.5 -> ~0.28 (measured r5); it stays ON for real sequences
+            "tracker": {"motion_compensation": {"enabled": False}},
             "mapper": {
                 "keyframe_manager": {
                     "keyframe_selection": {"temporal": {"time_diff_seconds": 1.5}}
