@@ -23,25 +23,36 @@ import time
 REALTIME_FLOOR_ITS_PER_SEC = 50.0 / 3.0
 
 
-def _measure(step, state, window, flags, pose_mask, n_iters=60):
+def _measure(step, state, window, flags, pose_mask, n_iters=40, n_passes=3):
+    """Median-of-passes rate. Both flag variants (occ update on/off) are
+    warmed BEFORE timing — on a cold compilation cache the occ-update
+    program otherwise compiles inside the first timed pass — and the
+    median over n_passes rejects one-off timing artifacts observed on the
+    remote backend (a single cold-cache run once reported an 80x-too-fast
+    joint pass; warm reruns reproduce the true rate to <2%)."""
+    import statistics
+
     import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup
-    key, sub = jax.random.split(key)
-    state, aux = step(state, window, sub, flags, pose_mask, jnp.asarray(0))
-    jax.block_until_ready(state.params)
-
     occ_true = flags._replace(do_occ_update=jnp.asarray(True))
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    # compile + warmup, both variants
+    for f in (flags, occ_true):
         key, sub = jax.random.split(key)
-        f = occ_true if (i % 10 == 9) else flags
-        state, aux = step(state, window, sub, f, pose_mask, jnp.asarray(i))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    return n_iters / dt, state
+        state, aux = step(state, window, sub, f, pose_mask, jnp.asarray(0))
+        jax.block_until_ready(state.params)
+
+    rates = []
+    for _ in range(n_passes):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            key, sub = jax.random.split(key)
+            f = occ_true if (i % 10 == 9) else flags
+            state, aux = step(state, window, sub, f, pose_mask, jnp.asarray(i))
+        jax.block_until_ready(state.params)
+        rates.append(n_iters / (time.perf_counter() - t0))
+    return statistics.median(rates), state
 
 
 def main():
@@ -76,6 +87,13 @@ def main():
 
     frozen_rate, state = _measure(step, state, window, frozen_flags, no_mask)
     joint_rate, state = _measure(step, state, window, joint_flags, all_mask)
+    # physical invariant: the joint step does strictly more work than the
+    # frozen one (the pose backward is compiled out of the latter), so a
+    # faster joint rate can only be a measurement artifact -> remeasure
+    for _ in range(2):
+        if joint_rate <= frozen_rate * 1.05:
+            break
+        joint_rate, state = _measure(step, state, window, joint_flags, all_mask)
 
     print(
         json.dumps(

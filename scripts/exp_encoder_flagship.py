@@ -8,7 +8,8 @@ comparing the encoder implementations the framework ships:
   fused  — per-level hash gathers with Pallas interp
   cell   — round-1 cell-packed jnp hash
 
-Writes ENCODER_EXP_r03.json: per-encoder L1 history, iterations, wall time.
+Writes ENCODER_EXP_r05.json (the committed artifact; see BASELINE.md):
+per-encoder L1 history, iterations, wall time.
 Run on the TPU chip (default backend); pass --cpu for a harness check.
 
     python scripts/exp_encoder_flagship.py [--cpu] [--trees 80] [--kfs 40]
@@ -43,7 +44,7 @@ def main():
     # chunks=2 runs each pass at the bench-proven 2.36M-point program shape.
     ap.add_argument("--point-chunks", type=int, default=2)
     ap.add_argument("--small", action="store_true", help="tiny shapes (harness check)")
-    ap.add_argument("--out", default="ENCODER_EXP_r03.json")
+    ap.add_argument("--out", default="ENCODER_EXP_r05.json")
     args = ap.parse_args()
 
     if args.cpu:
